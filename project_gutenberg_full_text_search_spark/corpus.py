@@ -1,0 +1,151 @@
+"""Deterministic synthetic source-code corpus generator.
+
+Produces the engine's canonical input table (per BASELINE.json input_hint):
+
+    docs(repo: string, path: string, commit: string, lang: string,
+         content: string)
+
+plus derived ``doc_id`` (dense long) and ``sha256`` (per-row invariant:
+the engine re-computes sha256(content) and must match — see
+tests/test_invariants.py).
+
+Design properties (FIXTURES.md §1):
+- Seed-deterministic *per doc_id*: content of doc i depends only on
+  (seed, i), never on partitioning or parallelism — the same corpus is
+  produced at local[1] and local[32], which is what makes the corpus a
+  stable oracle input and the scaling bench an apples-to-apples compare.
+- Zipf vocabulary (~N_VOCAB terms): top terms appear in most docs
+  (hot-term skew exercises the salted/range-split posting merge).
+- Per-doc rare terms (``uniq_<i>_<j>``) for unique-hit queries.
+- Planted phrases for phrase-query tests.
+- Log-normal doc length (BM25 length normalization is exercised).
+- Zipf repo sizes → a few huge repos (partition-skew exercise).
+
+Generation is distributed: ``spark.range(n) → mapInPandas`` so a
+10^12-row corpus would generate in parallel with no driver bottleneck.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+        T.StructField("sha256", T.StringType(), False),
+    ]
+)
+
+LANGS = ["py", "java", "c", "go", "js", "md"]
+LANG_KEYWORDS = {
+    "py": ["def", "class", "import", "return", "self"],
+    "java": ["public", "static", "void", "class", "extends"],
+    "c": ["struct", "static", "void", "sizeof", "typedef"],
+    "go": ["func", "package", "interface", "defer", "chan"],
+    "js": ["function", "const", "let", "async", "await"],
+    "md": ["the", "and", "usage", "install", "example"],
+}
+PLANTED_PHRASES = [
+    "merge sorted posting lists",
+    "block max wand pruning",
+    "delta varint compression",
+]
+N_VOCAB = 50_000
+ZIPF_A = 1.2
+
+
+def _vocab(n: int = N_VOCAB) -> list[str]:
+    """Deterministic identifier-style vocabulary, rank 0 = hottest."""
+    roots = [
+        "index", "query", "token", "merge", "block", "score", "parse",
+        "fetch", "cache", "shard", "chunk", "batch", "frame", "field",
+        "value", "count", "table", "store", "graph", "node",
+    ]
+    out = []
+    i = 0
+    while len(out) < n:
+        r = roots[i % len(roots)]
+        out.append(f"{r}{i // len(roots)}" if i >= len(roots) else r)
+        i += 1
+    return out
+
+
+_VOCAB_CACHE: list[str] | None = None
+
+
+def get_vocab() -> list[str]:
+    global _VOCAB_CACHE
+    if _VOCAB_CACHE is None:
+        _VOCAB_CACHE = _vocab()
+    return _VOCAB_CACHE
+
+
+def gen_doc(i: int, seed: int = 42) -> dict:
+    """Generate doc i. Depends only on (seed, i)."""
+    rng = np.random.default_rng(np.uint64(seed) * np.uint64(0x9E3779B9) + np.uint64(i))
+    vocab = get_vocab()
+    n_orgs = 17
+    # Zipf-ish repo assignment: low repo ids get many docs
+    repo_id = int(rng.zipf(1.3)) % 97
+    repo = f"org{repo_id % n_orgs}/repo{repo_id}"
+    lang = LANGS[int(rng.integers(0, 36)) % len(LANGS)] if repo_id % 5 else "py"
+    path = f"src/pkg{int(rng.integers(0, 40))}/mod{int(rng.integers(0, 30))}/file{i}.{lang}"
+    commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()
+    # log-normal length 50..5000 tokens
+    n_tok = int(np.clip(np.exp(rng.normal(5.0, 0.9)), 50, 5000))
+    ranks = rng.zipf(ZIPF_A, size=n_tok) - 1
+    words = [vocab[r % len(vocab)] for r in ranks]
+    # lang keywords sprinkled in
+    kw = LANG_KEYWORDS[lang]
+    for j in range(0, n_tok, 37):
+        words[j] = kw[j % len(kw)]
+    # per-doc rare terms (unique-hit queries)
+    for j in range(int(rng.integers(1, 4))):
+        pos = int(rng.integers(0, n_tok))
+        words[pos] = f"uniq_{i}_{j}"
+    # planted phrase in ~5% of docs
+    if rng.random() < 0.05:
+        ph = PLANTED_PHRASES[i % len(PLANTED_PHRASES)].split()
+        pos = int(rng.integers(0, max(1, n_tok - len(ph))))
+        words[pos : pos + len(ph)] = ph
+    # format as code-ish lines
+    lines = []
+    for s in range(0, len(words), 8):
+        lines.append(" ".join(words[s : s + 8]))
+    content = "\n".join(lines)
+    return {
+        "doc_id": i,
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+        "sha256": hashlib.sha256(content.encode()).hexdigest(),
+    }
+
+
+def gen_corpus_pandas(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side generation (tests, oracle). Same rows as the Spark path."""
+    return pd.DataFrame([gen_doc(i, seed) for i in range(n_docs)])
+
+
+def gen_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed generation: spark.range → mapInPandas (Arrow-batched)."""
+    parts = partitions or max(2, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n_docs, 1, parts)
+
+    def gen_batches(it):
+        for pdf in it:
+            yield pd.DataFrame([gen_doc(int(i), seed) for i in pdf["id"]])
+
+    return base.mapInPandas(gen_batches, schema=DOCS_SCHEMA)

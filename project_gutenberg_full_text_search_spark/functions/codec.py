@@ -1,0 +1,75 @@
+"""Delta + varint posting-list codecs, vectorized in numpy.
+
+The Spark-side analog of the storage behind PostgreSQL GIN posting trees
+(reference: tables/mv_books_dc.sql:461-467 creates the GIN tsvector
+indexes whose posting lists Postgres compresses internally). We store
+posting blocks as parquet binary columns:
+
+    doc_ids  → sorted uint64, delta-encoded then LEB128 varint
+    tfs/dls  → uint64 varint (no delta; small values → mostly 1 byte)
+
+Both directions are numpy-vectorized (no per-element Python loops): encode
+fills bytes per significance-level in ≤10 passes; decode reconstructs via
+np.add.reduceat over 7-bit payload segments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64))).astype(
+    np.uint64
+)
+
+
+def varint_encode(arr: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    # bytes needed per value: 1 + #thresholds the value reaches
+    nbytes = np.ones(arr.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (arr >= t).astype(np.int64)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        vals = (arr[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[starts[mask] + j] = vals.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.nonzero(b < 128)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    within = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    payload = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    return np.add.reduceat(payload, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Delta+varint encode a strictly-increasing uint64 array."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    deltas = np.empty_like(a)
+    deltas[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=deltas[1:])
+    return varint_encode(deltas)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    d = varint_decode(buf)
+    return np.cumsum(d, dtype=np.uint64)

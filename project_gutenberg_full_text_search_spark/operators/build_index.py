@@ -1,0 +1,378 @@
+"""Distributed inverted-index build.
+
+The Spark-native replacement for the reference's materialized view + GIN
+tsvector family (reference: tables/mv_books_dc.sql:32-431 builds the MV,
+461-467 the 7 GIN tsvector indexes, 21-28 the tsvector_agg merge). Instead
+of a row-store + index, we build plain columnar tables:
+
+    norms/     (doc_id, repo, path, commit, lang, dl, sha256)
+    postings/  (tbucket=P)/(term, block_key, n_docs, doc_ids_bin, tfs_bin,
+                dls_bin, pos_bin, max_tf, max_impact, sum_tf)
+    terms/     (term, df, cf)      — per-term corpus stats
+    stats.json (N, avgdl, total_tokens)
+    _checkpoints/shard_K.json      — resume manifests (lineage)
+    _metrics/shard_K.json          — docs/sec, postings/sec, bytes
+
+Scale design
+------------
+* Tokenize+tf+positions run inside ONE ``mapInPandas`` over the docs scan:
+  per-doc term counts and position lists need no (doc,term) shuffle at all
+  — they are computed partition-locally with numpy (np.unique/argsort), and
+  per-doc length ``dl`` is denormalized onto every emitted posting row so
+  query-time scoring never joins back to norms.
+* The single unavoidable shuffle is the posting merge, keyed on
+  ``(term, block_key)`` where ``block_key = doc_id // block_range``. The
+  doc-range component IS the salt: a hot term occupying 50% of a 10^12-doc
+  corpus spreads over ~10^8 independent reducers instead of one, and the
+  per-block outputs are posting segments over disjoint sorted doc-id ranges
+  — they concatenate into a full posting list with zero extra work. This
+  handles skew structurally rather than via a df-threshold salting pass
+  (SURVEY.md §3 "salted shuffle"; same guarantee, one less job).
+* Blocks carry ``max_tf`` and ``max_impact`` (max BM25 tf-component) for
+  block-max WAND pruning at query time.
+* Posting parquet is partitioned by ``tbucket = md5_long(term) % 64`` and
+  sorted by term within files: a query for T terms prunes to ≤T partitions
+  via partition pruning, then to a few row groups via parquet min/max on
+  ``term`` — the columnar analog of the GIN access path.
+* Shards: the doc space is split into ``n_shards`` hash-slices; each shard
+  is an independent Spark job whose output + manifest publish atomically.
+  A rerun skips shards whose manifest matches the input fingerprint →
+  resumable builds with per-partition lineage (north_rule).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from project_gutenberg_full_text_search_spark import BM25_B, BM25_K1
+from project_gutenberg_full_text_search_spark.functions.codec import (
+    delta_encode,
+    varint_encode,
+)
+from project_gutenberg_full_text_search_spark.functions.text import doc_len_col, tokenize_batch
+from project_gutenberg_full_text_search_spark.sources.tables import read_json, write_json
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+        T.StructField("pos_bin", T.BinaryType(), False),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_key", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("doc_ids_bin", T.BinaryType(), False),
+        T.StructField("tfs_bin", T.BinaryType(), False),
+        T.StructField("dls_bin", T.BinaryType(), False),
+        T.StructField("pos_bin", T.BinaryType(), False),
+        T.StructField("pos_len_bin", T.BinaryType(), False),
+        T.StructField("max_tf", T.LongType(), False),
+        T.StructField("max_impact", T.DoubleType(), False),
+        T.StructField("sum_tf", T.LongType(), False),
+    ]
+)
+
+N_TBUCKETS = 64
+DEFAULT_BLOCK_RANGE = 4096
+
+
+def tokenize_docs(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """docs → (doc_id, term, tf, dl, pos_bin) with NO shuffle.
+
+    Vectorized per Arrow batch: np.unique(return_inverse) gives term ids,
+    a stable argsort groups token positions per term; per-term position
+    lists are delta+varint encoded.  (Analog of to_tsvector with
+    positions, mv_books_dc.sql:183.)
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            out_doc, out_term, out_tf, out_dl, out_pos = [], [], [], [], []
+            tok_arrays = tokenize_batch(pdf[text_col].tolist())
+            for doc_id, toks in zip(pdf["doc_id"].tolist(), tok_arrays):
+                n = len(toks)
+                if n == 0:
+                    continue
+                terms, inverse, counts = np.unique(
+                    toks, return_inverse=True, return_counts=True
+                )
+                order = np.argsort(inverse, kind="stable")
+                starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                for j in range(len(terms)):
+                    pos = order[starts[j] : starts[j] + counts[j]].astype(np.uint64)
+                    out_doc.append(doc_id)
+                    out_term.append(terms[j])
+                    out_tf.append(int(counts[j]))
+                    out_dl.append(n)
+                    out_pos.append(delta_encode(pos))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "term": pd.Series(out_term, dtype="object"),
+                    "tf": pd.Series(out_tf, dtype="int64"),
+                    "dl": pd.Series(out_dl, dtype="int64"),
+                    "pos_bin": pd.Series(out_pos, dtype="object"),
+                }
+            )
+
+    cols = docs.select("doc_id", text_col)
+    return cols.mapInPandas(gen, schema=TOKENS_SCHEMA)
+
+
+def _encode_blocks_gen(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
+    """mapInPandas generator factory: sorted (term, block_key, doc_id) rows →
+    encoded posting blocks. Stateful across Arrow batches within a
+    partition so a group split across batches is carried, never truncated.
+    """
+
+    def gen(batches):
+        leftover: pd.DataFrame | None = None
+        for pdf in batches:
+            if leftover is not None and len(leftover):
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # rows are sorted by (term, block_key, doc_id); hold back the
+            # trailing (possibly incomplete) group
+            last_term = pdf["term"].iloc[-1]
+            last_bk = pdf["block_key"].iloc[-1]
+            tail_mask = (pdf["term"] == last_term) & (pdf["block_key"] == last_bk)
+            # tail rows are contiguous at the end under the sort order
+            n_tail = int(tail_mask.values[::-1].cumprod().sum())
+            leftover = pdf.iloc[len(pdf) - n_tail :]
+            head = pdf.iloc[: len(pdf) - n_tail]
+            if len(head):
+                yield _encode_block_frame(head, avgdl, k1, b)
+        if leftover is not None and len(leftover):
+            yield _encode_block_frame(leftover, avgdl, k1, b)
+
+    return gen
+
+
+def _encode_block_frame(pdf: pd.DataFrame, avgdl: float, k1: float, b: float) -> pd.DataFrame:
+    terms = pdf["term"].to_numpy()
+    bks = pdf["block_key"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
+    tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+    dls = pdf["dl"].to_numpy(dtype=np.uint64)
+    poss = pdf["pos_bin"].to_numpy()
+    # group boundaries (input sorted by term, block_key, doc_id)
+    change = np.empty(len(pdf), dtype=bool)
+    change[0] = True
+    change[1:] = (terms[1:] != terms[:-1]) | (bks[1:] != bks[:-1])
+    starts = np.nonzero(change)[0]
+    ends = np.concatenate((starts[1:], [len(pdf)]))
+    impact = tfs.astype(np.float64) * (k1 + 1.0) / (
+        tfs.astype(np.float64)
+        + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+    )
+    rows = {k: [] for k in (
+        "term", "block_key", "n_docs", "doc_ids_bin", "tfs_bin", "dls_bin",
+        "pos_bin", "pos_len_bin", "max_tf", "max_impact", "sum_tf",
+    )}
+    for s, e in zip(starts, ends):
+        rows["term"].append(terms[s])
+        rows["block_key"].append(int(bks[s]))
+        rows["n_docs"].append(e - s)
+        rows["doc_ids_bin"].append(delta_encode(doc_ids[s:e]))
+        rows["tfs_bin"].append(varint_encode(tfs[s:e]))
+        rows["dls_bin"].append(varint_encode(dls[s:e]))
+        pos_chunks = poss[s:e]
+        rows["pos_bin"].append(b"".join(pos_chunks))
+        rows["pos_len_bin"].append(
+            varint_encode(np.asarray([len(c) for c in pos_chunks], dtype=np.uint64))
+        )
+        rows["max_tf"].append(int(tfs[s:e].max()))
+        rows["max_impact"].append(float(impact[s:e].max()))
+        rows["sum_tf"].append(int(tfs[s:e].sum()))
+    return pd.DataFrame(rows)
+
+
+def build_norms(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """Per-doc length + metadata + sha256 invariant (BASELINE.json:15).
+
+    sha256 is recomputed JVM-side; rows keep any provided sha256 in
+    ``sha256_given`` so tests can assert the invariant distributedly.
+    """
+    meta_cols = [c for c in docs.columns if c not in (text_col, "sha256")]
+    out = docs.select(
+        *meta_cols,
+        doc_len_col(text_col).alias("dl"),
+        F.sha2(F.col(text_col), 256).alias("sha256"),
+        *(
+            [F.col("sha256").alias("sha256_given")]
+            if "sha256" in docs.columns
+            else []
+        ),
+    )
+    return out
+
+
+def ensure_doc_ids(docs: DataFrame) -> DataFrame:
+    """Assign a deterministic 63-bit doc_id when the input has none.
+
+    xxhash64(repo,path,commit) — fully parallel (no global row_number
+    bottleneck), deterministic across cluster sizes, collision-negligible.
+    """
+    if "doc_id" in docs.columns:
+        return docs
+    return docs.withColumn(
+        "doc_id",
+        F.abs(F.xxhash64("repo", "path", "commit")),
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "content",
+    block_range: int = DEFAULT_BLOCK_RANGE,
+    n_shards: int = 1,
+    resume: bool = True,
+    with_positions: bool = True,
+    input_fingerprint: str | None = None,
+) -> dict:
+    """Build the full index; returns the stats dict.
+
+    Resumable: each shard publishes output + a `_checkpoints/shard_K.json`
+    manifest atomically; reruns skip completed shards whose fingerprint
+    matches (analog of REFRESH MATERIALIZED VIEW CONCURRENTLY being
+    restart-safe, mv_books_dc.sql:502-514 — ours resumes mid-build).
+    """
+    t0 = time.time()
+    docs = ensure_doc_ids(docs)
+    fingerprint = input_fingerprint or "none"
+
+    # ---- norms + stats (single scan, cheap JVM-only aggregation) ----
+    norms_path = os.path.join(index_dir, "norms")
+    stats_path = os.path.join(index_dir, "stats.json")
+    stats = read_json(stats_path) if resume else None
+    if stats is None or stats.get("fingerprint") != fingerprint:
+        norms = build_norms(docs, text_col)
+        norms.write.mode("overwrite").parquet(norms_path)
+        norms = spark.read.parquet(norms_path)
+        row = norms.agg(
+            F.count("*").alias("N"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total_tokens"),
+        ).collect()[0]
+        stats = {
+            "N": row["N"],
+            "avgdl": float(row["avgdl"]),
+            "total_tokens": row["total_tokens"],
+            "k1": BM25_K1,
+            "b": BM25_B,
+            "block_range": block_range,
+            "fingerprint": fingerprint,
+        }
+        write_json(stats_path, stats)
+    avgdl = stats["avgdl"]
+
+    # ---- postings, shard by shard ----
+    for shard in range(n_shards):
+        ck_path = os.path.join(index_dir, "_checkpoints", f"shard_{shard}.json")
+        ck = read_json(ck_path) if resume else None
+        if ck is not None and ck.get("fingerprint") == fingerprint:
+            continue
+        ts = time.time()
+        shard_docs = (
+            docs
+            if n_shards == 1
+            else docs.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard)
+        )
+        tokens = tokenize_docs(shard_docs, text_col)
+        tokens = tokens.withColumn(
+            "block_key", (F.col("doc_id") / F.lit(block_range)).cast("long")
+        )
+        n_part = max(spark.sparkContext.defaultParallelism, 8)
+        blocks = (
+            tokens.repartition(n_part, "term", "block_key")
+            .sortWithinPartitions("term", "block_key", "doc_id")
+            .mapInPandas(_encode_blocks_gen(avgdl), schema=POSTINGS_SCHEMA)
+        )
+        if not with_positions:
+            blocks = blocks.withColumn("pos_bin", F.lit(b"")).withColumn(
+                "pos_len_bin", F.lit(b"")
+            )
+        blocks = blocks.withColumn(
+            "tbucket",
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+                F.lit(N_TBUCKETS),
+            ),
+        )
+        out_path = os.path.join(index_dir, "postings", f"shard={shard}")
+        (
+            blocks.repartition(max(8, n_part // 4), "tbucket")
+            .sortWithinPartitions("tbucket", "term", "block_key")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(out_path)
+        )
+        written = spark.read.parquet(out_path)
+        agg = written.agg(
+            F.count("*").alias("blocks"),
+            F.sum("n_docs").alias("postings"),
+            F.sum(F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("dls_bin") + F.length("pos_bin")).alias("bytes"),
+        ).collect()[0]
+        n_docs_shard = shard_docs.count()
+        dt = time.time() - ts
+        metrics = {
+            "shard": shard,
+            "docs": n_docs_shard,
+            "blocks": agg["blocks"],
+            "postings": agg["postings"],
+            "compressed_bytes": int(agg["bytes"] or 0),
+            "seconds": round(dt, 3),
+            "docs_per_sec": round(n_docs_shard / dt, 1) if dt > 0 else None,
+            "postings_per_sec": round((agg["postings"] or 0) / dt, 1) if dt > 0 else None,
+        }
+        write_json(os.path.join(index_dir, "_metrics", f"shard_{shard}.json"), metrics)
+        write_json(
+            ck_path,
+            {
+                "shard": shard,
+                "fingerprint": fingerprint,
+                "n_shards": n_shards,
+                "block_range": block_range,
+                "rows": agg["blocks"],
+                "postings": agg["postings"],
+                "completed_at": time.time(),
+            },
+        )
+
+    # ---- terms table (global df/cf; cheap agg over postings) ----
+    postings = spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
+        os.path.join(index_dir, "postings")
+    )
+    terms = postings.groupBy("term").agg(
+        F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
+    )
+    terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+    stats["build_seconds"] = round(time.time() - t0, 3)
+    stats["n_terms"] = spark.read.parquet(os.path.join(index_dir, "terms")).count()
+    write_json(stats_path, stats)
+    write_json(
+        os.path.join(index_dir, "_metrics", "summary.json"),
+        {
+            "n_docs": stats["N"],
+            "n_terms": stats["n_terms"],
+            "build_seconds": stats["build_seconds"],
+            "docs_per_sec": round(stats["N"] / stats["build_seconds"], 1),
+        },
+    )
+    return stats
