@@ -363,6 +363,20 @@ def build_index(
         F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
     )
     terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+
+    # ---- trigram → term table (GiST/GIN trgm analog, mv_books_dc.sql:472-487)
+    # vocabulary-sized (small): term, its padded trigrams, n_trigrams.
+    terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
+    from project_gutenberg_full_text_search_spark.functions.text import trigrams_col
+
+    tri = (
+        terms_df.select(
+            "term", "df", trigrams_col("term").alias("trigrams")
+        )
+        .withColumn("n_trigrams", F.size("trigrams"))
+        .select("term", "df", "n_trigrams", F.explode("trigrams").alias("trigram"))
+    )
+    tri.write.mode("overwrite").parquet(os.path.join(index_dir, "trigram_terms"))
     stats["build_seconds"] = round(time.time() - t0, 3)
     stats["n_terms"] = spark.read.parquet(os.path.join(index_dir, "terms")).count()
     write_json(stats_path, stats)

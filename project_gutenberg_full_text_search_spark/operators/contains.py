@@ -1,0 +1,105 @@
+"""Substring (ILIKE '%q%') search with trigram prefilter.
+
+Reference: CONTAINS search type builds ``text_col ILIKE '%q%'``
+(search/full_text_search.py:144-146, 98-103) accelerated by GIN trigram
+indexes (mv_books_dc.sql:472-477).
+
+Spark plan: a sound trigram prefilter + exact verify.
+
+  prefilter: lowercase the query, split into [a-z0-9_] fragments; every
+  *interior* (unpadded) trigram of every fragment of length ≥3 must appear
+  in the doc. Doc trigram membership is derived from the existing
+  term-postings + trigram_terms tables — docs(g) = ∪_{term ⊇ g} docs(term)
+  — i.e. the GIN trgm index is *virtual*, joined on demand instead of
+  materialized. Sound because a substring hit means each query fragment is
+  a substring of some token, so its interior trigrams are interior
+  trigrams of that token.
+
+  verify: join the candidate doc_ids back to the docs table (broadcast the
+  candidates when small) and apply the exact `contains` filter — identical
+  to the naive scan, but over a tiny candidate set.
+
+No fragment ≥3 chars → fall back to the naive full scan (pg does the same:
+trigram indexes need ≥3-char queries).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from project_gutenberg_full_text_search_spark.functions.text import word_trigrams
+from project_gutenberg_full_text_search_spark.operators.bm25 import IndexHandle
+
+MAX_PREFILTER_TERMS = 50_000
+
+
+def _query_trigrams(q: str) -> set[str]:
+    frags = [f for f in re.split("[^a-z0-9_]+", q.lower()) if len(f) >= 3]
+    out: set[str] = set()
+    for f in frags:
+        out |= word_trigrams(f, pad=False)
+    return out
+
+
+def contains_candidates(handle: IndexHandle, q: str) -> DataFrame | None:
+    """doc_ids that *may* contain q; None → prefilter unusable (full scan)."""
+    gset = sorted(_query_trigrams(q))
+    if not gset:
+        return None
+    spark = handle.spark
+    tri = spark.read.parquet(f"{handle.index_dir}/trigram_terms")
+    cand_terms = (
+        tri.filter(F.col("trigram").isin(gset))
+        .select("trigram", "term")
+        .collect()
+    )
+    if len(cand_terms) > MAX_PREFILTER_TERMS:
+        return None
+    # trigram → candidate term list; a doc qualifies iff for EVERY query
+    # trigram it contains at least one term carrying that trigram.
+    term_tri: dict[str, list[str]] = {}
+    for r in cand_terms:
+        term_tri.setdefault(r["term"], []).append(r["trigram"])
+    covered = {g for gs in term_tri.values() for g in gs}
+    if covered != set(gset):
+        # some query trigram occurs in no vocabulary term → no doc can match
+        return spark.createDataFrame([], "doc_id bigint")
+    decoded = handle.decode(list(term_tri)).select("doc_id", "term")
+    tri_map = F.create_map(
+        *[
+            x
+            for t, gs in term_tri.items()
+            for x in (F.lit(t), F.array(*[F.lit(g) for g in sorted(set(gs))]))
+        ]
+    )
+    return (
+        decoded.withColumn("gs", tri_map.getItem(F.col("term")))
+        .select("doc_id", F.explode("gs").alias("g"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("ng"))
+        .filter(F.col("ng") == len(gset))
+        .select("doc_id")
+    )
+
+
+def contains_search(
+    handle: IndexHandle,
+    docs: DataFrame,
+    q: str,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """docs rows whose text contains q (case-insensitive substring)."""
+    verify = F.contains(F.lower(F.col(text_col)), F.lit(q.lower()))
+    cands = contains_candidates(handle, q)
+    if cands is None:
+        return docs.filter(verify)
+    return docs.join(cands.hint("broadcast"), id_col, "left_semi").filter(verify)
+
+
+def contains_naive(docs: DataFrame, q: str, text_col: str = "content") -> DataFrame:
+    """Reference-exact naive path (the oracle's formulation)."""
+    return docs.filter(F.contains(F.lower(F.col(text_col)), F.lit(q.lower())))
