@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     — flagship BM25 search over sf0.001 documents.
+queries()        — operator registry (SURVEY.md §2 + pipeline ops); each
+                   callable (spark, sf_dir) → DataFrame.
+oracle_sql()     — DuckDB twins re-deriving the same semantics from first
+                   principles (tokenize/BM25/trigram/minhash/simhash/cosine).
+
+Registry lives in project_gutenberg_full_text_search_spark/entry_queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from project_gutenberg_full_text_search_spark.entry_queries import (  # noqa: E402
+    _documents,
+    _index_for,
+    build_registry,
+)
+
+_REGISTRY = None
+
+
+def _registry():
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = build_registry()
+    return _REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-25 for 'merge query' on sf0.001, with metadata."""
+    from pyspark.sql import functions as F
+
+    from project_gutenberg_full_text_search_spark.operators.bm25 import bm25_topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    handle = _index_for(spark, sf_dir)
+    top = bm25_topk(handle, "merge query", k=25)
+    docs = _documents(spark, sf_dir)
+    return (
+        top.join(docs, "doc_id")
+        .select("doc_id", "score", "lang", "source", "n_chars")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

@@ -1,0 +1,693 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 gets a (queries, oracle_sql) pair
+over the driver testdata tables (documents/embeddings/TPC-H). The oracle
+SQL re-derives the same semantics from first principles in DuckDB —
+tokenization, BM25, trigram similarity, MinHash/SimHash (via the
+cross-engine md5 hash), cosine — so the driver's value-hash compare is a
+real end-to-end correctness gate, not a row-count check.
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_gutenberg_full_text_search_spark import BM25_B, BM25_K1
+from project_gutenberg_full_text_search_spark.functions.hashing import md5_long_sql
+from project_gutenberg_full_text_search_spark.functions.text import (
+    TOKEN_SPLIT_RE,
+    word_trigrams,
+)
+from project_gutenberg_full_text_search_spark.operators import (
+    dedup,
+    similarity,
+    textstats,
+)
+from project_gutenberg_full_text_search_spark.operators.bm25 import (
+    IndexHandle,
+    bm25_candidates,
+    bm25_topk,
+)
+from project_gutenberg_full_text_search_spark.operators.build_index import build_index
+from project_gutenberg_full_text_search_spark.operators.contains import contains_search
+from project_gutenberg_full_text_search_spark.operators.fuzzy import fuzzy_search
+from project_gutenberg_full_text_search_spark.plans.parser import parse_websearch
+
+# ---------------------------------------------------------------------------
+# index cache: one index per sf_dir per machine (resume-backed)
+# ---------------------------------------------------------------------------
+
+_IDX_LOCK = threading.Lock()
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> IndexHandle:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = os.path.join(
+        os.environ.get("PGFTS_INDEX_CACHE", "/tmp/pgfts_index_cache"), tag
+    )
+    with _IDX_LOCK:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_index(
+            spark,
+            docs,
+            idx_dir,
+            text_col="text",
+            resume=True,
+            input_fingerprint=sf_dir,
+        )
+        return IndexHandle.open(spark, idx_dir)
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    f"list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+)
+
+_BASE_CTES = f"""
+tok AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest({_TOKS}) AS t(tok)
+),
+tfx AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dlx AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+stx AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dlx),
+dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tfx GROUP BY 1)
+"""
+
+
+def _adj_regex(terms: list[str]) -> str:
+    sep = "[^a-z0-9_]+"
+    body = sep.join(terms)
+    return f"(^|[^a-z0-9_]){body}([^a-z0-9_]|$)"
+
+
+def _bm25_oracle(query: str, k: int | None = 20, offset: int = 0, count_only: bool = False, extra_join: str = "", extra_where: str = "") -> str:
+    """DuckDB SQL computing the engine's exact BM25 semantics for `query`."""
+    pq = parse_websearch(query)
+    terms = pq.positive_terms
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    conds = []
+    for c in pq.clauses:
+        if c.kind == "term":
+            conds.append(f"list_contains(mterms, '{c.terms[0]}')")
+        elif c.kind == "or":
+            ors = " OR ".join(f"list_contains(mterms, '{t}')" for t in c.terms)
+            conds.append(f"({ors})")
+        elif c.kind == "phrase":
+            conds.append(
+                "regexp_matches(lower(d.text), '" + _adj_regex(list(c.terms)) + "')"
+            )
+    neg = ""
+    if pq.neg_terms:
+        nlist = ", ".join(f"'{t}'" for t in pq.neg_terms)
+        neg = f"AND sc.doc_id NOT IN (SELECT doc_id FROM tok WHERE term IN ({nlist}))"
+    where = " AND ".join(conds) if conds else "TRUE"
+    k1, b = BM25_K1, BM25_B
+    sql = f"""
+WITH {_BASE_CTES},
+sc AS (
+  SELECT tfx.doc_id,
+         sum( ln(1 + (stx.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tfx.tf * ({k1} + 1)
+              / (tfx.tf + {k1} * (1 - {b} + {b} * dlx.dl / stx.avgdl)) ) AS score,
+         list(DISTINCT tfx.term) AS mterms
+  FROM tfx
+  JOIN dlx USING (doc_id) CROSS JOIN stx JOIN dfx USING (term)
+  WHERE tfx.term IN ({tlist})
+  GROUP BY tfx.doc_id
+)
+SELECT sc.doc_id AS doc_id, round(sc.score, 4) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id {extra_join}
+WHERE {where} {neg} {extra_where}
+"""
+    if count_only:
+        return f"SELECT count(*)::BIGINT AS cnt FROM ({sql})"
+    return (
+        sql
+        + f"ORDER BY round(sc.score, 4) DESC, sc.doc_id ASC LIMIT {k} OFFSET {offset}"
+    )
+
+
+def _fts_query(query: str, k: int = 20, offset: int = 0):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        h = _index_for(spark, sf_dir)
+        return bm25_topk(h, query, k=k, offset=offset)
+
+    return fn
+
+
+def _fuzzy_oracle(word: str, k: int = 25, threshold: float = 0.3) -> str:
+    q = sorted(word_trigrams(word.lower()))
+    qlist = ", ".join("'" + g.replace("'", "''") + "'" for g in q)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM documents, unnest({_TOKS}) AS t(tok)
+),
+tri AS (
+  SELECT doc_id, term,
+         list_distinct(list_transform(range(1, len('  ' || term || ' ') - 1),
+                                      i -> ('  ' || term || ' ')[i:i+2])) AS tg
+  FROM tok
+),
+sim AS (
+  SELECT doc_id,
+         max(len(list_intersect(tg, [{qlist}]))::DOUBLE
+             / ({len(q)} + len(tg) - len(list_intersect(tg, [{qlist}])))::DOUBLE) AS s
+  FROM tri GROUP BY doc_id
+)
+SELECT doc_id, round(s, 4) AS sim FROM sim WHERE round(s, 4) >= {threshold}
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+_MINHASH_K = 8
+_SHINGLE_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len(toks) >= 3
+            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                              i -> array_to_string(toks[i:i+2], ' ')))
+            ELSE [] END AS shingles
+FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_registry():
+    queries: dict = {}
+    oracles: dict = {}
+
+    def reg(name, fn, sql=None):
+        queries[name] = fn
+        if sql is not None:
+            oracles[name] = sql
+
+    # ---- FTS family (Q1/Q2/S5/S7 of SURVEY §2.2-2.3) ----
+    for name, q in [
+        ("fts_single_hot", "merge"),
+        ("fts_and", "merge query"),
+        ("fts_or", "scan or stream"),
+        ("fts_not", "merge -slow"),
+        ("fts_three_and", "sort table window"),
+    ]:
+        reg(name, _fts_query(q, k=20), _bm25_oracle(q, k=20))
+    reg("fts_phrase", _fts_query('"table scan"', k=20), _bm25_oracle('"table scan"', k=20))
+    reg("fts_page2", _fts_query("merge", k=10, offset=10), _bm25_oracle("merge", k=10, offset=10))
+
+    def fts_count(spark, sf_dir):
+        h = _index_for(spark, sf_dir)
+        return (
+            bm25_candidates(h, parse_websearch("merge query"))
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    reg("fts_count_and", fts_count, _bm25_oracle("merge query", count_only=True))
+
+    def fts_filter_lang(spark, sf_dir):
+        h = _index_for(spark, sf_dir)
+        docs = _documents(spark, sf_dir)
+        cands = bm25_candidates(h, parse_websearch("merge"))
+        return (
+            cands.join(docs.filter(F.col("lang") == "de"), "doc_id", "left_semi")
+            .select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+            .limit(20)
+        )
+
+    reg(
+        "fts_filter_lang",
+        fts_filter_lang,
+        _bm25_oracle("merge", k=20, extra_where="AND d.lang = 'de'"),
+    )
+
+    # ---- fuzzy (Q3) ----
+    def fz(word, k=25):
+        def fn(spark, sf_dir):
+            h = _index_for(spark, sf_dir)
+            return fuzzy_search(h, word, k=k)
+
+        return fn
+
+    reg("fuzzy_typo", fz("mrege"), _fuzzy_oracle("mrege"))
+    reg("fuzzy_prefixish", fz("strea"), _fuzzy_oracle("strea"))
+
+    # ---- contains (Q4) ----
+    def ct(q):
+        def fn(spark, sf_dir):
+            h = _index_for(spark, sf_dir)
+            docs = _documents(spark, sf_dir)
+            return contains_search(h, docs, q, text_col="text").select("doc_id")
+
+        return fn
+
+    for name, q in [("contains_word_frag", "tabl"), ("contains_cross_token", "fast key")]:
+        reg(
+            name,
+            ct(q),
+            f"SELECT doc_id FROM documents WHERE contains(lower(text), '{q}')",
+        )
+
+    # ---- metadata filters (Q6-Q12 analogs on documents) ----
+    def doc_filters(spark, sf_dir):
+        return (
+            _documents(spark, sf_dir)
+            .filter((F.col("lang") == "de") & (F.col("n_chars") >= 200) & (F.col("n_chars") <= 400))
+            .select("doc_id", "lang", "n_chars")
+        )
+
+    reg(
+        "filter_range_eq",
+        doc_filters,
+        "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de' AND n_chars BETWEEN 200 AND 400",
+    )
+
+    def pk_inlist(spark, sf_dir):
+        return (
+            _documents(spark, sf_dir)
+            .filter(F.col("doc_id").isin([3, 5, 8, 13, 21]))
+            .select("doc_id", "source")
+        )
+
+    reg(
+        "filter_pk_inlist",
+        pk_inlist,
+        "SELECT doc_id, source FROM documents WHERE doc_id IN (3, 5, 8, 13, 21)",
+    )
+
+    def order_topn(spark, sf_dir):
+        return (
+            _documents(spark, sf_dir)
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .select("doc_id", "n_chars")
+            .limit(15)
+        )
+
+    reg(
+        "order_nchars_top15",
+        order_topn,
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 15",
+    )
+
+    # ---- facets / browse (A1-A4 analogs) ----
+    def facet_sources(spark, sf_dir):
+        return (
+            _documents(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+            .orderBy(F.desc("n"), F.asc("source"))
+            .limit(10)
+        )
+
+    reg(
+        "facet_top_sources",
+        facet_sources,
+        """SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS total_chars
+           FROM documents GROUP BY source ORDER BY n DESC, source ASC LIMIT 10""",
+    )
+
+    def facet_lang_of_matches(spark, sf_dir):
+        h = _index_for(spark, sf_dir)
+        docs = _documents(spark, sf_dir)
+        cands = bm25_candidates(h, parse_websearch("merge query"))
+        top = (
+            cands.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
+            .limit(100)
+            .select("doc_id")
+        )
+        return (
+            docs.join(F.broadcast(top), "doc_id", "left_semi")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("lang"))
+        )
+
+    reg(
+        "facet_lang_of_top_matches",
+        facet_lang_of_matches,
+        f"""WITH m AS ({_bm25_oracle("merge query", k=100)})
+            SELECT d.lang AS lang, count(*)::BIGINT AS n
+            FROM documents d JOIN m ON m.doc_id = d.doc_id
+            GROUP BY d.lang ORDER BY n DESC, lang ASC""",
+    )
+
+    # ---- ETL plane (B2-B12 analogs on TPC-H tables) ----
+    def etl_string_agg(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        n = _read(spark, sf_dir, "nation")
+        return (
+            c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.concat_ws(" | ", F.array_sort(F.collect_list("c_name"))).alias("names"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    reg(
+        "etl_string_agg",
+        etl_string_agg,
+        """SELECT n_name, string_agg(c_name, ' | ' ORDER BY c_name) AS names, count(*)::BIGINT AS n
+           FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""",
+    )
+
+    def etl_array_agg(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        return c.groupBy("c_nationkey").agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments")
+        )
+
+    reg(
+        "etl_array_agg_distinct",
+        etl_array_agg,
+        """SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+           FROM customer GROUP BY c_nationkey""",
+    )
+
+    def etl_exists_flag(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        o = _read(spark, sf_dir, "orders").select("o_custkey").distinct()
+        return (
+            c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+            .withColumn("has_order", F.col("o_custkey").isNotNull())
+            .groupBy("has_order")
+            .agg(F.count("*").alias("n"))
+        )
+
+    reg(
+        "etl_exists_flag",
+        etl_exists_flag,
+        """SELECT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order,
+                  count(*)::BIGINT AS n
+           FROM customer GROUP BY 1""",
+    )
+
+    def etl_minmax(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        return (
+            c.filter(F.col("c_acctbal") > 0)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+                F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    reg(
+        "etl_minmax_filtered",
+        etl_minmax,
+        """SELECT c_mktsegment, round(max(c_acctbal), 2) AS max_bal,
+                  round(min(c_acctbal), 2) AS min_bal, count(*)::BIGINT AS n
+           FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment""",
+    )
+
+    def etl_regex(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        return c.select(
+            "c_custkey",
+            F.regexp_replace(F.col("c_name"), "[0-9]+", "#").alias("name_masked"),
+        )
+
+    reg(
+        "etl_regexp_replace",
+        etl_regex,
+        "SELECT c_custkey, regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked FROM customer",
+    )
+
+    def etl_case_when(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        bucket = (
+            F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+        )
+        return c.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+    reg(
+        "etl_case_when_buckets",
+        etl_case_when,
+        """SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low'
+                       ELSE 'high' END AS bucket, count(*)::BIGINT AS n
+           FROM customer GROUP BY 1""",
+    )
+
+    # ---- classic pipelines (engine plumbing anchors) ----
+    def tpch_q1(spark, sf_dir):
+        l = _read(spark, sf_dir, "lineitem")
+        return (
+            l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    reg(
+        "tpch_q1_pricing",
+        tpch_q1,
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_quantity), 2) AS sum_qty,
+                  round(sum(l_extendedprice), 2) AS sum_base_price,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                  count(*)::BIGINT AS count_order
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2""",
+    )
+
+    def join3_revenue(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        o = _read(spark, sf_dir, "orders")
+        l = _read(spark, sf_dir, "lineitem")
+        return (
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(o, c["c_custkey"] == o["o_custkey"])
+            .join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+
+    reg(
+        "join3_top_revenue",
+        join3_revenue,
+        """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM customer JOIN orders ON c_custkey = o_custkey
+                         JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    )
+
+    def events_daily(spark, sf_dir):
+        e = _read(spark, sf_dir, "events")
+        return (
+            e.groupBy(
+                F.to_date("ts").alias("day"), F.col("event_type")
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+            .orderBy("day", "event_type")
+        )
+
+    reg(
+        "events_daily_rollup",
+        events_daily,
+        """SELECT ts::DATE AS day, event_type, count(*)::BIGINT AS n,
+                  round(sum(value), 2) AS total
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    )
+
+    # ---- dedup family ----
+    def dd_exact(spark, sf_dir):
+        return dedup.exact_dedup_groups(_documents(spark, sf_dir), "text")
+
+    reg(
+        "dedup_exact_groups",
+        dd_exact,
+        """SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1""",
+    )
+
+    def dd_minhash(spark, sf_dir):
+        sigs = dedup.minhash_signatures(
+            _documents(spark, sf_dir), "text", k=_MINHASH_K
+        )
+        return sigs.select(
+            "doc_id",
+            F.posexplode("sig").alias("seed", "minhash"),
+        ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
+
+    reg(
+        "dedup_minhash_sigs",
+        dd_minhash,
+        f"""WITH sh AS ({_SHINGLE_SQL}), seeds AS (SELECT unnest(range({_MINHASH_K})) AS seed)
+            SELECT doc_id, seed::INT AS seed,
+                   list_min(list_transform(sh.shingles,
+                        x -> (('0x' || substring(md5(seed::VARCHAR || ':' || x), 1, 15))::BIGINT))) AS minhash
+            FROM sh, seeds""",
+    )
+
+    def dd_simhash(spark, sf_dir):
+        return dedup.simhash(_documents(spark, sf_dir), "text", bits=16)
+
+    reg(
+        "dedup_simhash16",
+        dd_simhash,
+        f"""WITH tok AS (SELECT doc_id, t.tok AS term FROM documents, unnest({_TOKS}) AS t(tok)),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+            h AS (SELECT doc_id, tf, {md5_long_sql('term')} AS hv FROM tf),
+            bits AS (SELECT unnest(range(16)) AS i),
+            w AS (SELECT doc_id, i, sum(tf * (((hv >> i) & 1) * 2 - 1)) AS wt FROM h, bits GROUP BY 1, 2)
+            SELECT doc_id, sum(CASE WHEN wt > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+            FROM w GROUP BY doc_id""",
+    )
+
+    def dd_pairs(spark, sf_dir):
+        docs = _documents(spark, sf_dir)
+        return dedup.minhash_dedup_pairs(docs, "text", threshold=0.5)
+
+    reg("dedup_minhash_pairs", dd_pairs)  # rows-only: pair join not oracled
+
+    # ---- similarity search ----
+    def _qvec(spark, sf_dir):
+        row = (
+            _read(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0]
+        )
+        return [float(x) for x in row["embedding"]]
+
+    def ann_brute(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.cosine_topk(emb, _qvec(spark, sf_dir), k=10)
+
+    reg(
+        "ann_cosine_top10",
+        ann_brute,
+        """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+           SELECT e.vec_id,
+                  round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+           FROM embeddings e, q
+           ORDER BY cos DESC, e.vec_id ASC LIMIT 10""",
+    )
+
+    def ann_buckets(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            similarity.signbit_bucket_col(
+                F.col("embedding"), similarity.DEFAULT_LSH_DIMS
+            ).alias("bucket"),
+        )
+
+    dims_sql = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(similarity.DEFAULT_LSH_DIMS)
+    )
+    reg(
+        "ann_lsh_buckets",
+        ann_buckets,
+        f"SELECT vec_id, ({dims_sql})::BIGINT AS bucket FROM embeddings",
+    )
+
+    def ann_lsh(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.ann_lsh_topk(emb, _qvec(spark, sf_dir), k=5)
+
+    reg("ann_lsh_top5", ann_lsh)  # rows-only (approximate path)
+
+    # ---- text analysis ----
+    def tp(spark, sf_dir):
+        return textstats.text_profile(_documents(spark, sf_dir), "text")
+
+    markers_sql = {
+        lang: "[" + ", ".join(f"'{m}'" for m in ms) + "]"
+        for lang, ms in sorted(textstats.LANG_MARKERS.items())
+    }
+    score_exprs = ",\n".join(
+        f"len(list_intersect(dtoks, {lst}))::INT AS score_{lang}"
+        for lang, lst in markers_sql.items()
+    )
+    langs_sorted = sorted(textstats.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs_sorted) + ")"
+    pred_chain = "CASE " + " ".join(
+        f"WHEN score_{la} = {best} THEN '{la}'" for la in langs_sorted
+    ) + " END"
+    stop_list = "[" + ", ".join(f"'{s}'" for s in textstats.EN_STOPWORDS) + "]"
+    reg(
+        "text_profile",
+        tp,
+        f"""WITH b AS (
+              SELECT doc_id, text, {_TOKS} AS toks,
+                     list_distinct({_TOKS}) AS dtoks,
+                     list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS wtoks
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     len(wtoks)::INT AS ws_tokens,
+                     len(toks)::INT AS ident_tokens,
+                     len(toks)::INT AS n_tokens,
+                     (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1) AS punct_raw,
+                     len(list_filter(toks, x -> list_contains({stop_list}, x)))::DOUBLE
+                           / greatest(len(toks), 1) AS stop_raw,
+                     CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END AS len_ok,
+                     {score_exprs},
+                     md5(array_to_string(list_sort(dtoks), ' ')) AS fingerprint
+              FROM b
+            )
+            SELECT doc_id, ws_tokens, ident_tokens, n_tokens,
+                   round(punct_raw, 4) AS punct_ratio, round(stop_raw, 4) AS stopword_ratio,
+                   round(least(greatest(0.4 * len_ok + 0.3 * (1 - punct_raw) + 0.3 * stop_raw, 0.0), 1.0), 4) AS quality_score,
+                   {", ".join(f"score_{la}" for la in langs_sorted)},
+                   {pred_chain} AS lang_pred,
+                   fingerprint
+            FROM f""",
+    )
+
+    # ---- multimodal plumbing (stubbed decode → rows-only check) ----
+    def mm(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators import multimodal
+
+        media = multimodal.synthesize_media(spark, 60)
+        feats = multimodal.extract_features(media, fake=True)
+        return feats.select("media_id", "media_type", "n_bytes")
+
+    reg("multimodal_features", mm)
+
+    return queries, oracles

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side machinery is real — schema, partition-preserving
+mapInPandas feature extraction with bounded Arrow batches, typed metadata
+— while the actual media decode is STUBBED (the container ships no
+image/audio libs): ``decode_stub`` raises NotImplementedError unless
+``fake=True``, in which case it produces a deterministic fake feature
+vector from the payload bytes, so the distributed plumbing (batching,
+schema, ordering) is fully tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta", T.MapType(T.StringType(), T.StringType()), True
+        ),  # width/height/duration/... as strings
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rows = []
+    types = ["image", "audio", "video"]
+    for i in range(n):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        rows.append(
+            (
+                i,
+                types[i % 3],
+                h * (1 + i % 5),
+                {"width": str(64 + i % 512), "height": str(64 + (i * 3) % 512)},
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_features(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real decoder+encoder: bytes → R^16."""
+    d = hashlib.sha256(payload).digest()
+    arr = np.frombuffer(d[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
+    return arr / 65535.0
+
+
+def decode_stub(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires PIL/ffmpeg/librosa — not available in this "
+            "container; pass fake=True for the deterministic test double"
+        )
+    return _fake_features(payload)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Distributed feature extraction: mapInPandas over the binary column.
+
+    Real-world shape: Arrow batches bounded by maxRecordsPerBatch so a
+    partition of large videos never materializes at once; the decode call
+    is the only stubbed piece.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            feats = [
+                decode_stub(p, t, fake=fake).tolist()
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Typed-metadata aggregation — pure JVM (the non-stub part)."""
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.avg(F.col("meta")["width"].cast("int")).alias("avg_width"),
+        )
+        .orderBy("media_type")
+    )

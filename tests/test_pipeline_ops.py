@@ -1,0 +1,216 @@
+"""Training-data pipeline operators vs pandas/duckdb oracles (sf0.001)."""
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from project_gutenberg_full_text_search_spark.functions.hashing import (
+    md5_long_py,
+    seeded_hash_py,
+)
+from project_gutenberg_full_text_search_spark.functions.text import tokenize_str
+from project_gutenberg_full_text_search_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(documents):
+    return documents.toPandas()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(embeddings):
+    return embeddings.toPandas()
+
+
+# ---- hashing cross-engine ----
+
+def test_md5_long_col_matches_python(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"s": ["a", "hello world", ""]}))
+    from project_gutenberg_full_text_search_spark.functions.hashing import md5_long_col
+
+    got = [r[0] for r in df.select(md5_long_col("s")).collect()]
+    assert got == [md5_long_py(s) for s in ["a", "hello world", ""]]
+
+
+def test_md5_long_matches_duckdb():
+    import duckdb
+
+    from project_gutenberg_full_text_search_spark.functions.hashing import md5_long_sql
+
+    expr = md5_long_sql("'hello'")
+    got = duckdb.sql(f"SELECT {expr}").fetchone()[0]
+    assert got == md5_long_py("hello")
+
+
+# ---- exact dedup ----
+
+def test_exact_dedup(spark, documents, docs_pdf):
+    g = dedup.exact_dedup_groups(documents, "text").toPandas()
+    exp = docs_pdf.groupby(docs_pdf.text.map(lambda t: hashlib.md5(t.encode()).hexdigest()))
+    assert len(g) == exp.ngroups
+    assert g["n"].sum() == len(docs_pdf)
+    deduped = dedup.exact_dedup(documents, "text")
+    assert deduped.count() == exp.ngroups
+
+
+# ---- shingles + minhash ----
+
+def _py_shingles(text, n=3):
+    toks = tokenize_str(text)
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def test_shingles_expr(spark, documents, docs_pdf):
+    got = documents.select("doc_id", dedup.shingles_expr("text").alias("sh")).toPandas()
+    row = got[got.doc_id == 0].iloc[0]
+    assert list(row.sh) == _py_shingles(docs_pdf[docs_pdf.doc_id == 0].text.iloc[0])
+
+
+def test_minhash_signature_matches_python(documents, docs_pdf):
+    sigs = dedup.minhash_signatures(documents, "text", k=8).toPandas()
+    row = sigs[sigs.doc_id == 1].iloc[0]
+    sh = _py_shingles(docs_pdf[docs_pdf.doc_id == 1].text.iloc[0])
+    exp = [min(seeded_hash_py(x, s) for x in sh) for s in range(8)]
+    assert list(row.sig) == exp
+
+
+def test_minhash_dedup_finds_planted_dups(spark, documents):
+    # plant near-duplicates: doc + itself with one token changed
+    base = documents.limit(20)
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+    )
+    both = base.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.minhash_dedup_pairs(both, "text", k=16, bands=4, rows=4, threshold=0.5).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    planted = {(i, i + 100000) for i in range(20)}
+    # LSH is probabilistic but near-identical docs (J≈0.99) share bands w.h.p.
+    assert len(found & planted) >= 18
+    assert (pairs.jaccard >= 0.5).all()
+
+
+def test_simhash_matches_python(documents, docs_pdf):
+    got = dedup.simhash(documents.limit(5), "text", bits=16).toPandas()
+    for r in got.itertuples(index=False):
+        text = docs_pdf[docs_pdf.doc_id == r.doc_id].text.iloc[0]
+        tf = Counter(tokenize_str(text))
+        exp = 0
+        for i in range(16):
+            w = sum(
+                c * (2 * ((md5_long_py(t) >> i) & 1) - 1) for t, c in tf.items()
+            )
+            if w > 0:
+                exp |= 1 << i
+        assert r.simhash == exp, r.doc_id
+
+
+def test_simhash_neardups_have_small_hamming(spark, documents):
+    base = documents.limit(10)
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    both = base.select("doc_id", "text").unionByName(mutated)
+    sh = dedup.simhash(both, "text", bits=16).toPandas()
+    m = dict(zip(sh.doc_id, sh.simhash))
+    for i in range(10):
+        assert bin(m[i] ^ m[i + 100000]).count("1") <= 4
+
+
+# ---- ANN ----
+
+def test_cosine_topk_matches_numpy(embeddings, emb_pdf):
+    q = list(emb_pdf[emb_pdf.vec_id == 0].embedding.iloc[0])
+    got = similarity.cosine_topk(embeddings, q, k=10).toPandas()
+    M = np.stack(emb_pdf.embedding.to_numpy())
+    qv = np.asarray(q)
+    cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(emb_pdf.vec_id, np.round(cos, 4)), key=lambda t: (-t[1], t[0]))
+    assert got.vec_id.tolist() == [i for i, _ in order[:10]]
+    assert got.cos.tolist() == pytest.approx([c for _, c in order[:10]], abs=2e-4)
+
+
+def test_lsh_topk_subset_of_bucket(embeddings, emb_pdf):
+    q = list(emb_pdf[emb_pdf.vec_id == 3].embedding.iloc[0])
+    got = similarity.ann_lsh_topk(embeddings, q, k=5).toPandas()
+    assert 3 in got.vec_id.tolist()  # the query's own vector is in its bucket
+    assert got.cos.iloc[0] == 1.0
+
+
+def test_embedding_neardup_pairs(spark, embeddings):
+    dup = embeddings.limit(5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    both = embeddings.unionByName(dup)
+    pairs = similarity.embedding_neardup_pairs(both, threshold=0.999).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert {(i, i + 1000) for i in range(5)} <= found
+
+
+# ---- text stats ----
+
+def test_text_profile_matches_python(documents, docs_pdf):
+    got = textstats.text_profile(documents.limit(20), "text").toPandas()
+    for r in got.itertuples(index=False):
+        text = docs_pdf[docs_pdf.doc_id == r.doc_id].text.iloc[0]
+        toks = tokenize_str(text)
+        assert r.ident_tokens == len(toks)
+        assert r.ws_tokens == len([w for w in re.split(r"\s+", text) if w])
+        stop = sum(1 for t in toks if t in textstats.EN_STOPWORDS)
+        assert r.stopword_ratio == pytest.approx(round(stop / max(len(toks), 1), 4))
+        dt = sorted(set(toks))
+        assert r.fingerprint == hashlib.md5(" ".join(dt).encode()).hexdigest()
+        # langid deterministic + argmax
+        scores = {
+            lang: len(set(ms) & set(toks))
+            for lang, ms in textstats.LANG_MARKERS.items()
+        }
+        exp_lang = min(
+            (lang for lang in scores if scores[lang] == max(scores.values())),
+        ) if max(scores.values()) > -1 else "unknown"
+        assert r.lang_pred == exp_lang
+
+
+# ---- multimodal plumbing ----
+
+def test_multimodal_features(spark):
+    media = multimodal.synthesize_media(spark, 30)
+    feats = multimodal.extract_features(media, fake=True).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == multimodal.FEATURE_DIM for f in feats.features)
+    # determinism: same payload → same features
+    again = multimodal.extract_features(media, fake=True).toPandas()
+    f0 = feats.sort_values("media_id").features.tolist()
+    f1 = again.sort_values("media_id").features.tolist()
+    assert all(list(a) == list(b) for a, b in zip(f0, f1))
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = multimodal.synthesize_media(spark, 2)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(media, fake=False).collect()
+
+
+def test_media_stats(spark):
+    media = multimodal.synthesize_media(spark, 30)
+    st = multimodal.media_stats(media).toPandas()
+    assert st.media_type.tolist() == ["audio", "image", "video"]
+    assert st.n.sum() == 30
