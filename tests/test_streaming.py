@@ -1,0 +1,73 @@
+"""Incremental refresh: appended docs are searchable and rank-identical to
+a full rebuild (the assert-ful analog of the reference's concurrent
+refresh behavior, mv_books_dc.sql:502-514)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from project_gutenberg_full_text_search_spark.corpus import DOCS_SCHEMA, gen_corpus
+from project_gutenberg_full_text_search_spark.operators.bm25 import IndexHandle, bm25_topk
+from project_gutenberg_full_text_search_spark.operators.build_index import build_index
+from project_gutenberg_full_text_search_spark.streaming import append_docs, stream_refresh
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    full = gen_corpus(spark, 200, seed=42).cache()
+    base = full.filter("doc_id < 120").cache()
+    extra = full.filter("doc_id >= 120").cache()
+    return full, base, extra
+
+
+def _topk(spark, d, q="merge query", k=15):
+    h = IndexHandle.open(spark, d)
+    return bm25_topk(h, q, k=k).toPandas()
+
+
+def test_batch_append_matches_full_rebuild(spark, split_corpus):
+    full, base, extra = split_corpus
+    d_inc = tempfile.mkdtemp(prefix="pgfts_inc_")
+    d_full = tempfile.mkdtemp(prefix="pgfts_full_")
+    try:
+        build_index(spark, base, d_inc, input_fingerprint="base120")
+        append_docs(spark, extra, d_inc, "inc_0")
+        build_index(spark, full, d_full, input_fingerprint="full200")
+        for q in ["merge query", "index", '"delta varint compression"', "uniq_150_0"]:
+            a = _topk(spark, d_inc, q)
+            b = _topk(spark, d_full, q)
+            assert a.doc_id.tolist() == b.doc_id.tolist(), q
+            assert a.score.tolist() == b.score.tolist(), q
+    finally:
+        shutil.rmtree(d_inc, ignore_errors=True)
+        shutil.rmtree(d_full, ignore_errors=True)
+
+
+def test_stream_refresh_available_now(spark, split_corpus):
+    full, base, extra = split_corpus
+    d = tempfile.mkdtemp(prefix="pgfts_stream_")
+    drop = tempfile.mkdtemp(prefix="pgfts_drop_")
+    ck = tempfile.mkdtemp(prefix="pgfts_ck_")
+    try:
+        build_index(spark, base, d, input_fingerprint="base120")
+        extra.write.mode("overwrite").parquet(os.path.join(drop, "batch1"))
+        q = stream_refresh(
+            spark, os.path.join(drop, "batch1"), d, ck, schema=DOCS_SCHEMA
+        )
+        q.awaitTermination(120)
+        # new-doc unique term now searchable
+        hits = _topk(spark, d, "uniq_150_0", k=5)
+        assert hits.doc_id.tolist() == [150]
+        # restart with same checkpoint: no duplicate ingestion
+        q2 = stream_refresh(
+            spark, os.path.join(drop, "batch1"), d, ck, schema=DOCS_SCHEMA
+        )
+        q2.awaitTermination(120)
+        h = IndexHandle.open(spark, d)
+        assert h.stats["N"] == 200
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(drop, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
