@@ -32,10 +32,15 @@ def _scaling_worker(cpus: int, n_docs: int) -> None:
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
                       app_name=f"scaling_{cpus}")
-    docs = gen_corpus(spark, n_docs, seed=42, partitions=4 * cpus)
-    docs.write.mode("overwrite").parquet(os.path.join(tempfile.gettempdir(), f"scal_docs_{cpus}"))
-    docs = spark.read.parquet(os.path.join(tempfile.gettempdir(), f"scal_docs_{cpus}"))
-    d = tempfile.mkdtemp(prefix=f"pgfts_scal_{cpus}_")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    docs_path = os.path.join(scratch, f"pgfts_scal_docs_{n_docs}")
+    if not os.path.exists(docs_path):
+        # identical input for both parallelism levels (fixed 128 partitions)
+        gen_corpus(spark, n_docs, seed=42, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    d = tempfile.mkdtemp(prefix=f"pgfts_scal_{cpus}_", dir=scratch)
     t0 = time.time()
     build_index(spark, docs, d, resume=False, input_fingerprint=f"scal{cpus}")
     dt = time.time() - t0
@@ -100,7 +105,7 @@ def main() -> None:
     # ---- scaling phase ----
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000"))
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
         lo, hi = max(1, cpus // 4), cpus
         runs = {}
         for c in (lo, hi):

@@ -22,11 +22,13 @@ _THRESHOLDS = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64)
 )
 
 
-def varint_encode(arr: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array."""
+def varint_encode_with_lengths(arr: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte lengths
+    (enables one encode pass per *batch* with per-group byte slicing —
+    the per-posting-list encode-call overhead dominates otherwise)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint64)
     if arr.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: 1 + #thresholds the value reaches
     nbytes = np.ones(arr.size, dtype=np.int64)
     for t in _THRESHOLDS:
@@ -41,7 +43,43 @@ def varint_encode(arr: np.ndarray) -> bytes:
         vals = (arr[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
         out[starts[mask] + j] = vals.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(arr: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array."""
+    return varint_encode_with_lengths(arr)[0]
+
+
+def group_byte_ranges(nbytes: np.ndarray, group_starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Byte [start, end) of each contiguous value-group in an encoded buffer."""
+    ends_b = np.cumsum(nbytes)
+    starts_b = np.concatenate(([0], ends_b[:-1]))
+    g_start = starts_b[group_starts]
+    total = int(ends_b[-1]) if len(ends_b) else 0
+    g_end = np.concatenate((g_start[1:], [total]))
+    return g_start, g_end
+
+
+def delta_encode_grouped(
+    vals: np.ndarray, group_starts: np.ndarray
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Delta+varint encode many concatenated sorted groups in ONE pass.
+
+    Per-group bytes are identical to ``delta_encode(group)``; returns
+    (buffer, per-group byte starts, per-group byte ends).
+    """
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    prev = np.empty_like(v)
+    prev[0] = 0
+    prev[1:] = v[:-1]
+    deltas = v - prev
+    deltas[group_starts] = v[group_starts]  # group-initial values stay absolute
+    buf, nbytes = varint_encode_with_lengths(deltas)
+    gs, ge = group_byte_ranges(nbytes, group_starts)
+    return buf, gs, ge
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

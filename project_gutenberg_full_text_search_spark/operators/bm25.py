@@ -250,6 +250,31 @@ def bm25_candidates_blockagg(
     phrase_term_ids = sorted({i for spec in phrase_specs for i in spec})
 
     blocks = handle.blocks_for(present)
+
+    # Block-range intersection pruning (exact, distributed): every doc
+    # matching the query must carry ALL single-term clauses' terms and all
+    # phrase terms, so only block_keys (doc ranges) where every required
+    # term has a block can contain a match. For `rare_term AND hot_term`
+    # this prunes the hot term's posting scan to the rare term's ranges
+    # before any decode. Metadata-only aggregation: (term, block_key).
+    required = sorted(
+        {
+            c.terms[0]
+            for c in pq.clauses
+            if c.kind == "term" and c.terms[0] in term_idx
+        }
+        | {t for c in pq.clauses if c.kind == "phrase" for t in c.terms}
+    )
+    if len(required) >= 2:
+        allowed = (
+            blocks.filter(F.col("term").isin(required))
+            .groupBy("block_key")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == len(required))
+            .select("block_key")
+        )
+        blocks = blocks.join(allowed, "block_key", "left_semi")
+
     cols = ["term", "block_key", "doc_ids_bin", "tfs_bin", "dls_bin"] + (
         ["pos_bin", "pos_len_bin"] if need_pos else []
     )

@@ -98,6 +98,10 @@ def tokenize_docs(docs: DataFrame, text_col: str = "content") -> DataFrame:
     positions, mv_books_dc.sql:183.)
     """
 
+    from project_gutenberg_full_text_search_spark.functions.codec import (
+        delta_encode_grouped,
+    )
+
     def gen(batches):
         for pdf in batches:
             out_doc, out_term, out_tf, out_dl, out_pos = [], [], [], [], []
@@ -111,13 +115,15 @@ def tokenize_docs(docs: DataFrame, text_col: str = "content") -> DataFrame:
                 )
                 order = np.argsort(inverse, kind="stable")
                 starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-                for j in range(len(terms)):
-                    pos = order[starts[j] : starts[j] + counts[j]].astype(np.uint64)
-                    out_doc.append(doc_id)
-                    out_term.append(terms[j])
-                    out_tf.append(int(counts[j]))
-                    out_dl.append(n)
-                    out_pos.append(delta_encode(pos))
+                # all per-term position lists delta+varint'd in ONE pass,
+                # then byte-sliced per term (per-list encode calls are ~65µs
+                # overhead each and dominate the build otherwise)
+                buf, gs, ge = delta_encode_grouped(order.astype(np.uint64), starts)
+                out_doc.extend([doc_id] * len(terms))
+                out_term.extend(terms.tolist())
+                out_tf.extend(counts.tolist())
+                out_dl.extend([n] * len(terms))
+                out_pos.extend(buf[s:e] for s, e in zip(gs.tolist(), ge.tolist()))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),
@@ -163,6 +169,16 @@ def _encode_blocks_gen(avgdl: float, k1: float = BM25_K1, b: float = BM25_B):
 
 
 def _encode_block_frame(pdf: pd.DataFrame, avgdl: float, k1: float, b: float) -> pd.DataFrame:
+    """Encode one sorted batch into posting blocks — batch-vectorized:
+    every varint/delta stream for the whole batch is produced in a single
+    numpy pass and then byte-sliced at group boundaries (np.reduceat for
+    the per-block stats); the only per-group Python work is slicing."""
+    from project_gutenberg_full_text_search_spark.functions.codec import (
+        delta_encode_grouped,
+        group_byte_ranges,
+        varint_encode_with_lengths,
+    )
+
     terms = pdf["term"].to_numpy()
     bks = pdf["block_key"].to_numpy()
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
@@ -179,46 +195,72 @@ def _encode_block_frame(pdf: pd.DataFrame, avgdl: float, k1: float, b: float) ->
         tfs.astype(np.float64)
         + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
     )
-    rows = {k: [] for k in (
-        "term", "block_key", "n_docs", "doc_ids_bin", "tfs_bin", "dls_bin",
-        "pos_bin", "pos_len_bin", "max_tf", "max_impact", "sum_tf",
-    )}
-    for s, e in zip(starts, ends):
-        rows["term"].append(terms[s])
-        rows["block_key"].append(int(bks[s]))
-        rows["n_docs"].append(e - s)
-        rows["doc_ids_bin"].append(delta_encode(doc_ids[s:e]))
-        rows["tfs_bin"].append(varint_encode(tfs[s:e]))
-        rows["dls_bin"].append(varint_encode(dls[s:e]))
-        pos_chunks = poss[s:e]
-        rows["pos_bin"].append(b"".join(pos_chunks))
-        rows["pos_len_bin"].append(
-            varint_encode(np.asarray([len(c) for c in pos_chunks], dtype=np.uint64))
-        )
-        rows["max_tf"].append(int(tfs[s:e].max()))
-        rows["max_impact"].append(float(impact[s:e].max()))
-        rows["sum_tf"].append(int(tfs[s:e].sum()))
-    return pd.DataFrame(rows)
+    ids_buf, ids_s, ids_e = delta_encode_grouped(doc_ids, starts)
+    tf_buf, tf_nb = varint_encode_with_lengths(tfs)
+    tf_s, tf_e = group_byte_ranges(tf_nb, starts)
+    dl_buf, dl_nb = varint_encode_with_lengths(dls)
+    dl_s, dl_e = group_byte_ranges(dl_nb, starts)
+    pos_lens = np.fromiter((len(c) for c in poss), dtype=np.uint64, count=len(poss))
+    pos_all = b"".join(poss)
+    pos_s, pos_e = group_byte_ranges(pos_lens.astype(np.int64), starts)
+    pl_buf, pl_nb = varint_encode_with_lengths(pos_lens)
+    pl_s, pl_e = group_byte_ranges(pl_nb, starts)
+    return pd.DataFrame(
+        {
+            "term": terms[starts],
+            "block_key": bks[starts].astype(np.int64),
+            "n_docs": (ends - starts).astype(np.int64),
+            "doc_ids_bin": [ids_buf[s:e] for s, e in zip(ids_s.tolist(), ids_e.tolist())],
+            "tfs_bin": [tf_buf[s:e] for s, e in zip(tf_s.tolist(), tf_e.tolist())],
+            "dls_bin": [dl_buf[s:e] for s, e in zip(dl_s.tolist(), dl_e.tolist())],
+            "pos_bin": [pos_all[s:e] for s, e in zip(pos_s.tolist(), pos_e.tolist())],
+            "pos_len_bin": [pl_buf[s:e] for s, e in zip(pl_s.tolist(), pl_e.tolist())],
+            "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int64),
+            "max_impact": np.maximum.reduceat(impact, starts),
+            "sum_tf": np.add.reduceat(tfs, starts).astype(np.int64),
+        }
+    )
 
 
 def build_norms(docs: DataFrame, text_col: str = "content") -> DataFrame:
     """Per-doc length + metadata + sha256 invariant (BASELINE.json:15).
 
-    sha256 is recomputed JVM-side; rows keep any provided sha256 in
-    ``sha256_given`` so tests can assert the invariant distributedly.
+    Rows keep any provided sha256 in ``sha256_given`` so tests can assert
+    the invariant distributedly. Computed in one vectorized mapInPandas
+    pass: profiling showed Spark's JVM `split()` on the tokenizer's
+    negated-char-class regex costs ~150× more than the Python tokenizer
+    and does not parallelize on this host, so the Python path is both the
+    faster and the scaling one (sha256 via hashlib, same answer as sha2).
     """
+    import hashlib
+
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.functions.text import tokenize_batch
+
     meta_cols = [c for c in docs.columns if c not in (text_col, "sha256")]
-    out = docs.select(
-        *meta_cols,
-        doc_len_col(text_col).alias("dl"),
-        F.sha2(F.col(text_col), 256).alias("sha256"),
-        *(
-            [F.col("sha256").alias("sha256_given")]
-            if "sha256" in docs.columns
-            else []
-        ),
+    has_given = "sha256" in docs.columns
+    in_cols = meta_cols + [text_col] + (["sha256"] if has_given else [])
+    fields = [docs.schema[c] for c in meta_cols]
+    out_schema = T.StructType(
+        fields
+        + [T.StructField("dl", T.LongType(), False), T.StructField("sha256", T.StringType(), False)]
+        + ([T.StructField("sha256_given", T.StringType(), True)] if has_given else [])
     )
-    return out
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            out = pdf[meta_cols].copy()
+            out["dl"] = pd.Series(
+                [len(t) for t in tokenize_batch(texts)], dtype="int64", index=pdf.index
+            )
+            out["sha256"] = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+            if has_given:
+                out["sha256_given"] = pdf["sha256"]
+            yield out
+
+    return docs.select(*in_cols).mapInPandas(gen, schema=out_schema)
 
 
 def ensure_doc_ids(docs: DataFrame) -> DataFrame:
@@ -297,11 +339,24 @@ def build_index(
         tokens = tokenize_docs(shard_docs, text_col)
         tokens = tokens.withColumn(
             "block_key", (F.col("doc_id") / F.lit(block_range)).cast("long")
+        ).withColumn(
+            "tbucket",
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+                F.lit(N_TBUCKETS),
+            ),
         )
         n_part = max(spark.sparkContext.defaultParallelism, 8)
+        # ONE shuffle keyed (tbucket, block_key): tbucket is a pure function
+        # of term, so each (term, block_key) group still lands whole in one
+        # partition (encode needs that), while the output is already
+        # co-partitioned with the tbucket write layout — no second shuffle
+        # before the partitioned write. block_key in the key spreads hot
+        # terms (structural salting).
         blocks = (
-            tokens.repartition(n_part, "term", "block_key")
-            .sortWithinPartitions("term", "block_key", "doc_id")
+            tokens.repartition(n_part, "tbucket", "block_key")
+            .sortWithinPartitions("tbucket", "term", "block_key", "doc_id")
+            .drop("tbucket")
             .mapInPandas(_encode_blocks_gen(avgdl), schema=POSTINGS_SCHEMA)
         )
         if not with_positions:
@@ -317,8 +372,7 @@ def build_index(
         )
         out_path = os.path.join(index_dir, "postings", f"shard={shard}")
         (
-            blocks.repartition(max(8, n_part // 4), "tbucket")
-            .sortWithinPartitions("tbucket", "term", "block_key")
+            blocks.sortWithinPartitions("tbucket", "term", "block_key")
             .write.mode("overwrite")
             .partitionBy("tbucket")
             .parquet(out_path)

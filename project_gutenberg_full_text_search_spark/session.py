@@ -46,7 +46,26 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Text pipelines do ~100× more work per scanned byte than plain SQL
+        # (tokenize, hash, encode), so the default 128 MB file bin-packing
+        # yields a handful of scan tasks on compressed text and starves the
+        # cores. 16 MB keeps scan-side stages as parallel as the cluster.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("PGFTS_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
+    # Shuffle scratch on tmpfs when available: the sandbox's virtual disk
+    # (~200 MB/s) throttles shuffle-heavy stages far below what any real
+    # cluster's local NVMe provides; RAM-backed scratch removes that
+    # artificial I/O wall (local-mode only concern).
+    shm = os.environ.get("PGFTS_LOCAL_DIR", "/dev/shm/pgfts-spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
+    except OSError:
+        pass
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

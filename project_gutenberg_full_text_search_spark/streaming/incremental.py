@@ -97,26 +97,26 @@ def append_docs(
     norms = build_norms(new_docs, text_col)
     norms.write.mode("append").parquet(os.path.join(index_dir, "norms"))
 
-    tokens = tokenize_docs(new_docs, text_col).withColumn(
-        "block_key", (F.col("doc_id") / F.lit(block_range)).cast("long")
+    tbucket_expr = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+        F.lit(N_TBUCKETS),
+    )
+    tokens = (
+        tokenize_docs(new_docs, text_col)
+        .withColumn("block_key", (F.col("doc_id") / F.lit(block_range)).cast("long"))
+        .withColumn("tbucket", tbucket_expr)
     )
     n_part = max(spark.sparkContext.defaultParallelism, 8)
     blocks = (
-        tokens.repartition(n_part, "term", "block_key")
-        .sortWithinPartitions("term", "block_key", "doc_id")
+        tokens.repartition(n_part, "tbucket", "block_key")
+        .sortWithinPartitions("tbucket", "term", "block_key", "doc_id")
+        .drop("tbucket")
         .mapInPandas(_encode_blocks_gen(stats["avgdl"]), schema=POSTINGS_SCHEMA)
-        .withColumn(
-            "tbucket",
-            F.pmod(
-                F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
-                F.lit(N_TBUCKETS),
-            ),
-        )
+        .withColumn("tbucket", tbucket_expr)
     )
     out = os.path.join(index_dir, "postings", f"shard={shard_label}")
     (
-        blocks.repartition(max(4, n_part // 4), "tbucket")
-        .sortWithinPartitions("tbucket", "term", "block_key")
+        blocks.sortWithinPartitions("tbucket", "term", "block_key")
         .write.mode("overwrite")
         .partitionBy("tbucket")
         .parquet(out)
