@@ -256,7 +256,7 @@ def build_registry():
 
         return fn
 
-    reg("fuzzy_typo", fz("mrege"), _fuzzy_oracle("mrege"))
+    reg("fuzzy_typo", fz("querry"), _fuzzy_oracle("querry"))
     reg("fuzzy_prefixish", fz("strea"), _fuzzy_oracle("strea"))
 
     # ---- contains (Q4) ----
@@ -694,5 +694,125 @@ def build_registry():
         return feats.select("media_id", "media_type", "n_bytes")
 
     reg("multimodal_features", mm)
+
+    # ---- JSON extraction (B11 analog: nested-doc ops) ----
+    def json_extract(spark, sf_dir):
+        e = _read(spark, sf_dir, "events")
+        return (
+            e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("k").alias("sum_k"),
+                F.max("k").alias("max_k"),
+            )
+        )
+
+    reg(
+        "etl_json_extract",
+        json_extract,
+        """SELECT event_type, count(*)::BIGINT AS n,
+                  sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+                  max(json_extract_string(props, '$.k')::INT)::INT AS max_k
+           FROM events GROUP BY event_type""",
+    )
+
+    # ---- split_part / trim (B6 MARC-subfield-parse analog) ----
+    def split_part(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        return c.select(
+            "c_custkey",
+            F.split(F.col("c_name"), "#")[0].alias("name_head"),
+            F.element_at(F.split(F.col("c_name"), "#"), -1).alias("name_tail"),
+            F.trim(F.col("c_mktsegment")).alias("seg"),
+        )
+
+    reg(
+        "etl_split_part",
+        split_part,
+        """SELECT c_custkey, split_part(c_name, '#', 1) AS name_head,
+                  split_part(c_name, '#', -1) AS name_tail,
+                  trim(c_mktsegment) AS seg
+           FROM customer""",
+    )
+
+    # ---- n-gram Jaccard near-dup pairs (exact, oracled) ----
+    def ngram_pairs(spark, sf_dir):
+        docs = _documents(spark, sf_dir, spread=True)
+        sh = docs.select(
+            "doc_id", dedup.shingles_expr("text").alias("sh")
+        )
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        pair = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= 0.2)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return pair
+
+    reg(
+        "dedup_ngram_jaccard_pairs",
+        ngram_pairs,
+        f"""WITH sh AS ({_SHINGLE_SQL})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                         / len(list_distinct(a.shingles || b.shingles))::DOUBLE, 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                        / len(list_distinct(a.shingles || b.shingles))::DOUBLE, 4) >= 0.2""",
+    )
+
+    # ---- embedding near-dup pairs (bucket-blocked, deterministic) ----
+    def emb_pairs(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.embedding_neardup_pairs(emb, threshold=0.55)
+
+    bucket_sql = " + ".join(
+        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, d in enumerate(similarity.DEFAULT_LSH_DIMS)
+    )
+    reg(
+        "dedup_embedding_pairs",
+        emb_pairs,
+        f"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                              ({bucket_sql})::BIGINT AS bucket FROM embeddings)
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   round(list_dot_product(a.v, c.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE round(list_dot_product(a.v, c.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) >= 0.55""",
+    )
+
+    # ---- window functions / per-group top-N (A6 analog) ----
+    def window_topn(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        e = _read(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("event_type", "rn", "event_id", F.round("value", 4).alias("value"))
+        )
+
+    reg(
+        "window_top5_per_type",
+        window_topn,
+        """SELECT event_type, rn, event_id, round(value, 4) AS value FROM (
+             SELECT event_type, event_id, value,
+                    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+             FROM events) WHERE rn <= 5""",
+    )
 
     return queries, oracles

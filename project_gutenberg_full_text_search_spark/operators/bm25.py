@@ -209,7 +209,12 @@ def bm25_candidates_blockagg(
     pq: ParsedQuery,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    block_keys=None,
 ) -> DataFrame:
+    """block_keys: optional list[int] or DataFrame(block_key) restricting
+    the scored doc ranges (used by block-max pruning — scores within a
+    range are exact because block_key = doc_id // block_range is the same
+    for every term)."""
     import pandas as pd
 
     spark = handle.spark
@@ -250,6 +255,11 @@ def bm25_candidates_blockagg(
     phrase_term_ids = sorted({i for spec in phrase_specs for i in spec})
 
     blocks = handle.blocks_for(present)
+    if block_keys is not None:
+        if isinstance(block_keys, DataFrame):
+            blocks = blocks.join(block_keys, "block_key", "left_semi")
+        else:
+            blocks = blocks.filter(F.col("block_key").isin([int(x) for x in block_keys]))
 
     # Block-range intersection pruning (exact, distributed): every doc
     # matching the query must carry ALL single-term clauses' terms and all
@@ -424,16 +434,89 @@ def bm25_candidates_rowagg(
     return per_doc.select("doc_id", "score")
 
 
+PRUNE_MIN_POSTINGS = 50_000
+
+
+def bm25_topk_pruned_candidates(
+    handle: IndexHandle,
+    pq: ParsedQuery,
+    K: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Block-max pruning (the batch adaptation of block-max WAND).
+
+    Doc ranges are block-aligned across terms (block_key = doc_id //
+    block_range), so: (1) an upper bound per range is Σ_t idf_t ·
+    max_impact(t, range); (2) scoring restricted to a set of ranges is
+    EXACT for every doc inside them. Algorithm:
+
+      phase 0  metadata-only scan → per-range ub + doc count
+      phase 1  score the highest-ub ranges covering ≥4K docs exactly
+               (full clause/negation/phrase semantics) → θ = K-th score
+      phase 2  survivors = ranges with ub ≥ θ; exact scoring over them.
+
+    Safe: a doc outside the survivors has score ≤ its range's ub < θ.
+    Negation/phrases only *remove* docs inside scored ranges, and θ is
+    computed post-removal, so it is a valid lower bound on the final
+    K-th score.
+    """
+    terms = pq.positive_terms
+    N = handle.stats["N"]
+    dfs = handle.term_stats(terms)
+    present = [t for t in terms if dfs.get(t)]
+    if not present:
+        return handle.spark.createDataFrame([], "doc_id bigint, score double")
+    idf_map = {t: idf(N, dfs[t]) for t in present}
+    meta = handle.blocks_for(present).select("term", "block_key", "max_impact", "n_docs")
+    idf_expr = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(idf_map[t]))])
+    ranges = meta.groupBy("block_key").agg(
+        F.sum(idf_expr.getItem(F.col("term")) * F.col("max_impact")).alias("ub"),
+        F.sum("n_docs").alias("nd"),
+    )
+    top_meta = ranges.orderBy(F.desc("ub"), F.asc("block_key")).limit(2048).collect()
+    seed, covered = [], 0
+    for r in top_meta:
+        seed.append(r["block_key"])
+        covered += r["nd"]
+        if covered >= 4 * K:
+            break
+    phase1 = bm25_candidates_blockagg(handle, pq, k1, b, block_keys=seed)
+    kth = (
+        phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(K).collect()
+    )
+    if len(kth) < K:
+        # seed ranges didn't yield K matches → θ unusable; score everything
+        return bm25_candidates_blockagg(handle, pq, k1, b)
+    theta = kth[-1]["score"]
+    survivors = ranges.filter(F.col("ub") >= theta).select("block_key")
+    return bm25_candidates_blockagg(handle, pq, k1, b, block_keys=survivors)
+
+
 def bm25_topk(
     handle: IndexHandle,
     query: str | ParsedQuery,
     k: int = 25,
     offset: int = 0,
     round_digits: int = 4,
+    prune: bool | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) — deterministic (score desc, doc_id asc)."""
+    """Top-k (doc_id, score) — deterministic (score desc, doc_id asc).
+
+    prune=None → block-max pruning kicks in automatically when the query
+    terms' total posting count makes two extra metadata jobs worthwhile.
+    """
     pq = parse_websearch(query) if isinstance(query, str) else query
-    cands = bm25_candidates(handle, pq)
+    if prune is None or prune:
+        dfs = handle.term_stats(pq.positive_terms)
+        total = sum(dfs.values())
+        use_prune = total >= PRUNE_MIN_POSTINGS if prune is None else True
+    else:
+        use_prune = False
+    if use_prune and len(pq.positive_terms) + len(pq.neg_terms) <= 62:
+        cands = bm25_topk_pruned_candidates(handle, pq, offset + k)
+    else:
+        cands = bm25_candidates(handle, pq)
     ranked = (
         cands.withColumn("score", F.round(F.col("score"), round_digits))
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -52,11 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from project_gutenberg_full_text_search_spark import BM25_B, BM25_K1
-from project_gutenberg_full_text_search_spark.functions.codec import (
-    delta_encode,
-    varint_encode,
-)
-from project_gutenberg_full_text_search_spark.functions.text import doc_len_col, tokenize_batch
+from project_gutenberg_full_text_search_spark.functions.text import tokenize_batch
 from project_gutenberg_full_text_search_spark.sources.tables import read_json, write_json
 
 TOKENS_SCHEMA = T.StructType(

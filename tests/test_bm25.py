@@ -59,6 +59,23 @@ def test_pagination_slices_consistently(handle, oracle):
     assert page2["doc_id"].tolist() == full["doc_id"].tolist()[10:20]
 
 
+@pytest.mark.parametrize("q", QUERIES)
+def test_pruned_rank_identity(handle, oracle, q):
+    """Block-max pruning must be invisible: forced-prune top-k equals the
+    oracle exactly (same matrix as the unpruned test)."""
+    got = bm25_topk(handle, q, k=15, prune=True).toPandas()
+    exp = oracle.search(q, k=15)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist(), f"docs differ for {q!r}"
+    assert got["score"].tolist() == pytest.approx(exp["score"].tolist(), abs=1e-4)
+
+
+def test_pruned_pagination(handle, oracle):
+    q = "index merge"
+    full = bm25_topk(handle, q, k=30, prune=True).toPandas()
+    page2 = bm25_topk(handle, q, k=10, offset=10, prune=True).toPandas()
+    assert page2["doc_id"].tolist() == full["doc_id"].tolist()[10:20]
+
+
 def test_determinism_across_runs(handle):
     q = "index or query"
     a = bm25_topk(handle, q, k=20).toPandas()
