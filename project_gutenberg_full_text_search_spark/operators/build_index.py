@@ -342,7 +342,16 @@ def build_index(
                 F.lit(N_TBUCKETS),
             ),
         )
-        n_part = max(spark.sparkContext.defaultParallelism, 8)
+        # Task count decoupled from core count (override via env): ~2 tasks
+        # per core keeps partitions small enough to sort in memory, and a
+        # FIXED count across cluster sizes makes strong-scaling comparisons
+        # measure parallelism, not partition-size side effects.
+        n_part = int(
+            os.environ.get(
+                "PGFTS_BUILD_PARTITIONS",
+                max(2 * spark.sparkContext.defaultParallelism, 8),
+            )
+        )
         # ONE shuffle keyed (tbucket, block_key): tbucket is a pure function
         # of term, so each (term, block_key) group still lands whole in one
         # partition (encode needs that), while the output is already
@@ -379,7 +388,9 @@ def build_index(
             F.sum("n_docs").alias("postings"),
             F.sum(F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("dls_bin") + F.length("pos_bin")).alias("bytes"),
         ).collect()[0]
-        n_docs_shard = shard_docs.count()
+        # single-shard builds already know the doc count from the norms
+        # aggregation — don't pay another full scan for a metric
+        n_docs_shard = stats["N"] if n_shards == 1 else shard_docs.count()
         dt = time.time() - ts
         metrics = {
             "shard": shard,

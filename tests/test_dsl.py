@@ -302,6 +302,30 @@ def test_top_subjects_for_query(fts, dims, oracle, meta_pdf):
     assert got["count"].iloc[0] == exp.iloc[0]
 
 
+def test_fts_on_title_field_with_own_index(spark, small_corpus, dims, oracle, index_dir):
+    """Q5 field routing: a second per-field index (TITLE) behind the same
+    facade — the analog of the reference's 7 GIN tsvector indexes."""
+    import tempfile
+
+    from project_gutenberg_full_text_search_spark.operators.build_index import build_index
+    from project_gutenberg_full_text_search_spark.oracle import OracleIndex
+
+    d = tempfile.mkdtemp(prefix="pgfts_title_idx_")
+    build_index(spark, dims["meta"], d, text_col="title", input_fingerprint="title300")
+    fts2 = FullTextSearch(
+        spark,
+        small_corpus,
+        meta=dims["meta"],
+        indexes={SearchField.CONTENT: index_dir, SearchField.TITLE: d},
+        dims=dims,
+    )
+    title_oracle = OracleIndex(dims["meta"].toPandas(), text_col="title")
+    q = fts2.query(Crosswalk.MINI).search("cache", SearchField.TITLE, SearchType.FTS)
+    assert fts2.count(q) == title_oracle.count("cache")
+    env = fts2.execute(q.order_by(OrderBy.RELEVANCE)[1, 10])
+    assert env["total"] == title_oracle.count("cache")
+
+
 def test_locc_children(fts):
     top = fts.locc_children().toPandas()
     assert set(top.pk) == {"P", "Q", "T", "B"}
