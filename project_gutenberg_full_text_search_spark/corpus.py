@@ -6,8 +6,8 @@ Produces the engine's canonical input table (per BASELINE.json input_hint):
          content: string)
 
 plus derived ``doc_id`` (dense long) and ``sha256`` (per-row invariant:
-the engine re-computes sha256(content) and must match — see
-tests/test_invariants.py).
+the engine re-computes sha256(content) and must match — asserted in
+tests/test_index_build.py).
 
 Design properties (FIXTURES.md §1):
 - Seed-deterministic *per doc_id*: content of doc i depends only on

@@ -574,9 +574,13 @@ def build_registry():
             tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
             h AS (SELECT doc_id, tf, {md5_long_sql('term')} AS hv FROM tf),
             bits AS (SELECT unnest(range(16)) AS i),
-            w AS (SELECT doc_id, i, sum(tf * (((hv >> i) & 1) * 2 - 1)) AS wt FROM h, bits GROUP BY 1, 2)
-            SELECT doc_id, sum(CASE WHEN wt > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
-            FROM w GROUP BY doc_id""",
+            w AS (SELECT doc_id, i, sum(tf * (((hv >> i) & 1) * 2 - 1)) AS wt FROM h, bits GROUP BY 1, 2),
+            s AS (SELECT doc_id, sum(CASE WHEN wt > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+                  FROM w GROUP BY doc_id)
+            -- LEFT JOIN from documents: a token-less doc gets simhash 0,
+            -- matching the engine (which emits 0, not an absent row)
+            SELECT d.doc_id AS doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+            FROM documents d LEFT JOIN s USING (doc_id)""",
     )
 
     def dd_pairs(spark, sf_dir):

@@ -89,7 +89,9 @@ class IndexHandle:
         return self.spark.read.option("basePath", base).parquet(base)
 
     def norms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "norms"))
+        from project_gutenberg_full_text_search_spark.operators.build_index import read_norms
+
+        return read_norms(self.spark, self.index_dir)
 
     def terms(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
@@ -448,8 +450,12 @@ def bm25_topk_pruned_candidates(
 
     Doc ranges are block-aligned across terms (block_key = doc_id //
     block_range), so: (1) an upper bound per range is Σ_t idf_t ·
-    max_impact(t, range); (2) scoring restricted to a set of ranges is
-    EXACT for every doc inside them. Algorithm:
+    impact(max_tf, min_dl, avgdl_now) — BM25's tf-component is increasing
+    in tf and decreasing in dl, so the bound holds for every posting in
+    the block, and because it is evaluated with the CURRENT stats.json
+    avgdl it stays valid after incremental refreshes shift avgdl (a
+    build-time-frozen max_impact would not); (2) scoring restricted to a
+    set of ranges is EXACT for every doc inside them. Algorithm:
 
       phase 0  metadata-only scan → per-range ub + doc count
       phase 1  score the highest-ub ranges covering ≥4K docs exactly
@@ -468,10 +474,16 @@ def bm25_topk_pruned_candidates(
     if not present:
         return handle.spark.createDataFrame([], "doc_id bigint, score double")
     idf_map = {t: idf(N, dfs[t]) for t in present}
-    meta = handle.blocks_for(present).select("term", "block_key", "max_impact", "n_docs")
+    avgdl = handle.stats["avgdl"]
+    meta = handle.blocks_for(present).select(
+        "term", "block_key", "max_tf", "min_dl", "n_docs"
+    )
     idf_expr = F.create_map(*[x for t in present for x in (F.lit(t), F.lit(idf_map[t]))])
+    impact_ub = (F.col("max_tf") * (k1 + 1.0)) / (
+        F.col("max_tf") + k1 * (1.0 - b + b * F.col("min_dl") / F.lit(avgdl))
+    )
     ranges = meta.groupBy("block_key").agg(
-        F.sum(idf_expr.getItem(F.col("term")) * F.col("max_impact")).alias("ub"),
+        F.sum(idf_expr.getItem(F.col("term")) * impact_ub).alias("ub"),
         F.sum("n_docs").alias("nd"),
     )
     top_meta = ranges.orderBy(F.desc("ub"), F.asc("block_key")).limit(2048).collect()
@@ -489,7 +501,12 @@ def bm25_topk_pruned_candidates(
         # seed ranges didn't yield K matches → θ unusable; score everything
         return bm25_candidates_blockagg(handle, pq, k1, b)
     theta = kth[-1]["score"]
-    survivors = ranges.filter(F.col("ub") >= theta).select("block_key")
+    # final ranking orders by round(score, 4): keep every range whose ub
+    # could still produce a doc that TIES the K-th rounded score (half a
+    # rounding ulp below round(theta,4)); cutoff ≤ theta always, so this
+    # only widens the survivor set.
+    cutoff = round(theta, 4) - 5e-5
+    survivors = ranges.filter(F.col("ub") >= F.lit(cutoff)).select("block_key")
     return bm25_candidates_blockagg(handle, pq, k1, b, block_keys=survivors)
 
 

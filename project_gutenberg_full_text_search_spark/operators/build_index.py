@@ -76,6 +76,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("pos_bin", T.BinaryType(), False),
         T.StructField("pos_len_bin", T.BinaryType(), False),
         T.StructField("max_tf", T.LongType(), False),
+        T.StructField("min_dl", T.LongType(), False),
         T.StructField("max_impact", T.DoubleType(), False),
         T.StructField("sum_tf", T.LongType(), False),
     ]
@@ -83,6 +84,16 @@ POSTINGS_SCHEMA = T.StructType(
 
 N_TBUCKETS = 64
 DEFAULT_BLOCK_RANGE = 4096
+# bumped when the on-disk layout changes (e.g. min_dl column, sharded norms);
+# stale caches rebuild instead of failing on a missing column.
+FORMAT_VERSION = 2
+
+
+def block_key_expr(block_range: int):
+    """Integer floor division — NOT float division: doc_ids span the full
+    63-bit range (xxhash64-derived) where double rounding above 2^53 could
+    misplace boundary docs into the adjacent block."""
+    return F.expr(f"doc_id div {int(block_range)}")
 
 
 def tokenize_docs(docs: DataFrame, text_col: str = "content") -> DataFrame:
@@ -212,6 +223,10 @@ def _encode_block_frame(pdf: pd.DataFrame, avgdl: float, k1: float, b: float) ->
             "pos_bin": [pos_all[s:e] for s, e in zip(pos_s.tolist(), pos_e.tolist())],
             "pos_len_bin": [pl_buf[s:e] for s, e in zip(pl_s.tolist(), pl_e.tolist())],
             "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int64),
+            # min_dl + max_tf give an avgdl-independent query-time upper
+            # bound impact(max_tf, min_dl, avgdl_now) — safe after
+            # incremental refresh shifts avgdl (stored max_impact is not).
+            "min_dl": np.minimum.reduceat(dls, starts).astype(np.int64),
             "max_impact": np.maximum.reduceat(impact, starts),
             "sum_tf": np.add.reduceat(tfs, starts).astype(np.int64),
         }
@@ -259,6 +274,12 @@ def build_norms(docs: DataFrame, text_col: str = "content") -> DataFrame:
     return docs.select(*in_cols).mapInPandas(gen, schema=out_schema)
 
 
+def read_norms(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All norms shards (base + incremental), without the shard column."""
+    root = os.path.join(index_dir, "norms")
+    return spark.read.option("basePath", root).parquet(root).drop("shard")
+
+
 def ensure_doc_ids(docs: DataFrame) -> DataFrame:
     """Assign a deterministic 63-bit doc_id when the input has none.
 
@@ -267,9 +288,10 @@ def ensure_doc_ids(docs: DataFrame) -> DataFrame:
     """
     if "doc_id" in docs.columns:
         return docs
+    # mask, not abs: abs(Long.MIN_VALUE) stays negative in two's complement
     return docs.withColumn(
         "doc_id",
-        F.abs(F.xxhash64("repo", "path", "commit")),
+        F.xxhash64("repo", "path", "commit").bitwiseAND(F.lit((1 << 63) - 1)),
     )
 
 
@@ -296,13 +318,21 @@ def build_index(
     fingerprint = input_fingerprint or "none"
 
     # ---- norms + stats (single scan, cheap JVM-only aggregation) ----
-    norms_path = os.path.join(index_dir, "norms")
+    # norms live under norms/shard=<label> so incremental appends are
+    # idempotent (a replayed epoch OVERWRITES its own shard instead of
+    # appending duplicate rows — see streaming/incremental.py).
+    norms_root = os.path.join(index_dir, "norms")
+    norms_path = os.path.join(norms_root, "shard=base")
     stats_path = os.path.join(index_dir, "stats.json")
     stats = read_json(stats_path) if resume else None
-    if stats is None or stats.get("fingerprint") != fingerprint:
+    if (
+        stats is None
+        or stats.get("fingerprint") != fingerprint
+        or stats.get("format") != FORMAT_VERSION
+    ):
         norms = build_norms(docs, text_col)
         norms.write.mode("overwrite").parquet(norms_path)
-        norms = spark.read.parquet(norms_path)
+        norms = read_norms(spark, index_dir)
         row = norms.agg(
             F.count("*").alias("N"),
             F.avg("dl").alias("avgdl"),
@@ -316,6 +346,7 @@ def build_index(
             "b": BM25_B,
             "block_range": block_range,
             "fingerprint": fingerprint,
+            "format": FORMAT_VERSION,
         }
         write_json(stats_path, stats)
     avgdl = stats["avgdl"]
@@ -324,7 +355,11 @@ def build_index(
     for shard in range(n_shards):
         ck_path = os.path.join(index_dir, "_checkpoints", f"shard_{shard}.json")
         ck = read_json(ck_path) if resume else None
-        if ck is not None and ck.get("fingerprint") == fingerprint:
+        if (
+            ck is not None
+            and ck.get("fingerprint") == fingerprint
+            and ck.get("format") == FORMAT_VERSION
+        ):
             continue
         ts = time.time()
         shard_docs = (
@@ -334,7 +369,7 @@ def build_index(
         )
         tokens = tokenize_docs(shard_docs, text_col)
         tokens = tokens.withColumn(
-            "block_key", (F.col("doc_id") / F.lit(block_range)).cast("long")
+            "block_key", block_key_expr(block_range)
         ).withColumn(
             "tbucket",
             F.pmod(
@@ -408,6 +443,7 @@ def build_index(
             {
                 "shard": shard,
                 "fingerprint": fingerprint,
+                "format": FORMAT_VERSION,
                 "n_shards": n_shards,
                 "block_range": block_range,
                 "rows": agg["blocks"],

@@ -8,20 +8,26 @@ the block/shard build exploits), appending a new shard of posting blocks
 for the new docs IS a refresh. Readers keep working throughout (new files
 only become visible atomically per parquet commit).
 
-- ``append_docs``: one batch of new docs → append norms + a new postings
-  shard, then refresh the small derived tables (stats, terms,
+- ``append_docs``: one batch of new docs → a new norms shard + a new
+  postings shard, then refresh the small derived tables (stats, terms,
   trigram_terms).
 - ``stream_refresh``: Structured Streaming file source →
   ``foreachBatch(append_docs)`` with checkpointing, so a crashed refresh
   resumes exactly-once per epoch.
 
+Idempotency: foreachBatch is at-least-once, so BOTH writes of an epoch
+(norms and postings) go to fixed per-shard paths with mode('overwrite') —
+a replayed epoch rewrites its own shard instead of duplicating rows, which
+would otherwise inflate N/avgdl and corrupt BM25 scores.
+
 Scale notes: terms/trigram_terms are refreshed by a full re-aggregation
 over postings metadata (term, n_docs, sum_tf — NOT the block payloads);
 at 10^12-file scale this would move to a merge-on-read delta, which the
 layout already permits (terms is derivable, never authoritative).
-Stale ``max_impact`` in old blocks after avgdl drift affects only pruning
-tightness, never scores — scoring reads tf/dl from blocks and N/avgdl
-from stats.json at query time.
+avgdl drift after a refresh is safe for block-max pruning: the query-time
+upper bound is computed from per-block (max_tf, min_dl) with the CURRENT
+stats.json avgdl (operators/bm25.py), never from a build-time-frozen
+impact value.
 """
 
 from __future__ import annotations
@@ -35,8 +41,10 @@ from project_gutenberg_full_text_search_spark.operators.build_index import (
     N_TBUCKETS,
     POSTINGS_SCHEMA,
     _encode_blocks_gen,
+    block_key_expr,
     build_norms,
     ensure_doc_ids,
+    read_norms,
     tokenize_docs,
 )
 from project_gutenberg_full_text_search_spark.sources.tables import read_json, write_json
@@ -47,7 +55,7 @@ def refresh_derived(spark: SparkSession, index_dir: str) -> dict:
     from project_gutenberg_full_text_search_spark import BM25_B, BM25_K1
     from project_gutenberg_full_text_search_spark.functions.text import trigrams_col
 
-    norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+    norms = read_norms(spark, index_dir)
     row = norms.agg(
         F.count("*").alias("N"),
         F.avg("dl").alias("avgdl"),
@@ -95,7 +103,11 @@ def append_docs(
         raise FileNotFoundError(f"no base index at {index_dir} — build_index first")
     block_range = stats.get("block_range", 4096)
     norms = build_norms(new_docs, text_col)
-    norms.write.mode("append").parquet(os.path.join(index_dir, "norms"))
+    # overwrite into a fixed per-shard path (NOT append to the root): an
+    # at-least-once epoch replay rewrites the same shard idempotently.
+    norms.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "norms", f"shard={shard_label}")
+    )
 
     tbucket_expr = F.pmod(
         F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
@@ -103,7 +115,7 @@ def append_docs(
     )
     tokens = (
         tokenize_docs(new_docs, text_col)
-        .withColumn("block_key", (F.col("doc_id") / F.lit(block_range)).cast("long"))
+        .withColumn("block_key", block_key_expr(block_range))
         .withColumn("tbucket", tbucket_expr)
     )
     n_part = max(spark.sparkContext.defaultParallelism, 8)

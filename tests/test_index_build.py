@@ -26,7 +26,9 @@ def test_corpus_determinism(small_corpus, small_corpus_pdf):
 def test_sha256_invariant(spark, small_corpus, index_dir):
     """Per-row invariant (BASELINE.json:15): engine-computed sha256(content)
     equals the generator's sha256, for every row, distributed."""
-    norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+    from project_gutenberg_full_text_search_spark.operators.build_index import read_norms
+
+    norms = read_norms(spark, index_dir)
     bad = norms.filter(F.col("sha256") != F.col("sha256_given")).count()
     assert bad == 0
 

@@ -71,3 +71,45 @@ def test_stream_refresh_available_now(spark, split_corpus):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(drop, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_epoch_replay_idempotent(spark, split_corpus):
+    """foreachBatch is at-least-once: re-running the same epoch (same
+    shard label) must not duplicate norms rows or shift stats/scores."""
+    full, base, extra = split_corpus
+    d = tempfile.mkdtemp(prefix="pgfts_replay_")
+    try:
+        build_index(spark, base, d, input_fingerprint="base120")
+        append_docs(spark, extra, d, "inc_0")
+        h1 = IndexHandle.open(spark, d)
+        n1, avgdl1 = h1.stats["N"], h1.stats["avgdl"]
+        top1 = _topk(spark, d)
+        # simulate a crash between write and checkpoint commit → replay
+        append_docs(spark, extra, d, "inc_0")
+        h2 = IndexHandle.open(spark, d)
+        assert h2.stats["N"] == n1 == 200
+        assert h2.stats["avgdl"] == avgdl1
+        top2 = _topk(spark, d)
+        assert top1.doc_id.tolist() == top2.doc_id.tolist()
+        assert top1.score.tolist() == top2.score.tolist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pruning_safe_after_avgdl_drift(spark, split_corpus):
+    """Block-max pruning must stay exact when appended docs shift avgdl:
+    the per-block upper bound is derived from (max_tf, min_dl) with the
+    refreshed avgdl, never from a build-time-frozen impact."""
+    full, base, extra = split_corpus
+    d = tempfile.mkdtemp(prefix="pgfts_drift_")
+    try:
+        build_index(spark, base, d, input_fingerprint="base120")
+        append_docs(spark, extra, d, "inc_0")
+        h = IndexHandle.open(spark, d)
+        for q in ["merge query", "index", "index or query"]:
+            pruned = bm25_topk(h, q, k=15, prune=True).toPandas()
+            exact = bm25_topk(h, q, k=15, prune=False).toPandas()
+            assert pruned.doc_id.tolist() == exact.doc_id.tolist(), q
+            assert pruned.score.tolist() == exact.score.tolist(), q
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
