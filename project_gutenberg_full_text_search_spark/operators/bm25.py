@@ -154,6 +154,59 @@ class IndexHandle:
         )
         return blocks.select(*cols).mapInPandas(gen, schema=schema)
 
+    def decode_for(self, cand: DataFrame, payload_schema: T.StructType) -> DataFrame:
+        """Decode postings for candidate terms given as a DATAFRAME — the
+        index probe for vocabulary-derived candidate sets (fuzzy/contains).
+
+        ``cand`` carries a ``term`` column plus payload columns (declared in
+        ``payload_schema``, e.g. the per-term similarity) that are repeated
+        onto every decoded posting row. The candidate side is broadcast and
+        joined on (tbucket, term), so nothing is ever collected to the
+        Python driver and the plan size stays O(1) in the candidate count —
+        unlike an isin()/create_map literal formulation, which at source-
+        code-corpus vocabulary sizes (unbounded identifiers) is a driver
+        OOM. tbucket is derived from term on the candidate side so the
+        partitioned postings scan is prunable (DPP / runtime filters).
+
+        Returns (doc_id, term, *payload).
+        """
+        pay_names = [f.name for f in payload_schema.fields]
+        cand_b = F.broadcast(
+            cand.select("term", *pay_names).withColumn(
+                "tbucket",
+                F.pmod(
+                    F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+                    F.lit(N_TBUCKETS),
+                ),
+            )
+        )
+        blocks = self.postings().join(cand_b, ["tbucket", "term"])
+
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("term", T.StringType(), False),
+            ]
+            + list(payload_schema.fields)
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    ids = delta_decode(r.doc_ids_bin).astype(np.int64)
+                    d = {"doc_id": ids, "term": np.repeat(r.term, len(ids))}
+                    for p in pay_names:
+                        v = getattr(r, p)
+                        d[p] = [v] * len(ids)
+                    outs.append(pd.DataFrame(d))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return blocks.select("term", "doc_ids_bin", *pay_names).mapInPandas(
+            gen, schema=out_schema
+        )
+
 
 def _clause_predicate(pq: ParsedQuery):
     """Catalyst boolean expression over (matched: array<string>, posmap)."""

@@ -89,6 +89,16 @@ DEFAULT_BLOCK_RANGE = 4096
 FORMAT_VERSION = 2
 
 
+def tbucket_col(term_col="term"):
+    """Posting partition bucket: md5_long(term) % N_TBUCKETS — the same
+    expression everywhere (build, incremental append, query-side probes)."""
+    c = F.col(term_col) if isinstance(term_col, str) else term_col
+    return F.pmod(
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        F.lit(N_TBUCKETS),
+    )
+
+
 def block_key_expr(block_range: int):
     """Integer floor division — NOT float division: doc_ids span the full
     63-bit range (xxhash64-derived) where double rounding above 2^53 could
@@ -370,13 +380,7 @@ def build_index(
         tokens = tokenize_docs(shard_docs, text_col)
         tokens = tokens.withColumn(
             "block_key", block_key_expr(block_range)
-        ).withColumn(
-            "tbucket",
-            F.pmod(
-                F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
-                F.lit(N_TBUCKETS),
-            ),
-        )
+        ).withColumn("tbucket", tbucket_col())
         # Task count decoupled from core count (override via env): ~2 tasks
         # per core keeps partitions small enough to sort in memory, and a
         # FIXED count across cluster sizes makes strong-scaling comparisons
@@ -403,13 +407,7 @@ def build_index(
             blocks = blocks.withColumn("pos_bin", F.lit(b"")).withColumn(
                 "pos_len_bin", F.lit(b"")
             )
-        blocks = blocks.withColumn(
-            "tbucket",
-            F.pmod(
-                F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
-                F.lit(N_TBUCKETS),
-            ),
-        )
+        blocks = blocks.withColumn("tbucket", tbucket_col())
         out_path = os.path.join(index_dir, "postings", f"shard={shard}")
         (
             blocks.sortWithinPartitions("tbucket", "term", "block_key")

@@ -29,11 +29,15 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from project_gutenberg_full_text_search_spark.functions.text import word_trigrams
 from project_gutenberg_full_text_search_spark.operators.bm25 import IndexHandle
 
 MAX_PREFILTER_TERMS = 50_000
+_GS_PAYLOAD = T.StructType(
+    [T.StructField("gs", T.ArrayType(T.StringType()), False)]
+)
 
 
 def _query_trigrams(q: str) -> set[str]:
@@ -45,39 +49,39 @@ def _query_trigrams(q: str) -> set[str]:
 
 
 def contains_candidates(handle: IndexHandle, q: str) -> DataFrame | None:
-    """doc_ids that *may* contain q; None → prefilter unusable (full scan)."""
+    """doc_ids that *may* contain q; None → prefilter unusable (full scan).
+
+    The candidate (term → matched-trigram-set) mapping stays a DataFrame
+    broadcast-joined to the posting blocks (``IndexHandle.decode_for``) —
+    never collected, never inlined as plan literals: at source-code
+    vocabulary sizes the literal formulation is a driver OOM and a
+    multi-MB Catalyst plan. Only two scalar stats (candidate-term count,
+    covered-trigram count) come back to the driver, both from a
+    vocabulary-sized metadata aggregation.
+    """
     gset = sorted(_query_trigrams(q))
     if not gset:
         return None
     spark = handle.spark
     tri = spark.read.parquet(f"{handle.index_dir}/trigram_terms")
-    cand_terms = (
-        tri.filter(F.col("trigram").isin(gset))
-        .select("trigram", "term")
-        .collect()
-    )
-    if len(cand_terms) > MAX_PREFILTER_TERMS:
+    matched = tri.filter(F.col("trigram").isin(gset))
+    stats = matched.agg(
+        F.count_distinct("term").alias("n_terms"),
+        F.count_distinct("trigram").alias("n_covered"),
+    ).collect()[0]
+    if stats["n_terms"] > MAX_PREFILTER_TERMS:
         return None
-    # trigram → candidate term list; a doc qualifies iff for EVERY query
-    # trigram it contains at least one term carrying that trigram.
-    term_tri: dict[str, list[str]] = {}
-    for r in cand_terms:
-        term_tri.setdefault(r["term"], []).append(r["trigram"])
-    covered = {g for gs in term_tri.values() for g in gs}
-    if covered != set(gset):
+    if stats["n_covered"] < len(gset):
         # some query trigram occurs in no vocabulary term → no doc can match
         return spark.createDataFrame([], "doc_id bigint")
-    decoded = handle.decode(list(term_tri)).select("doc_id", "term")
-    tri_map = F.create_map(
-        *[
-            x
-            for t, gs in term_tri.items()
-            for x in (F.lit(t), F.array(*[F.lit(g) for g in sorted(set(gs))]))
-        ]
+    # term → its matched query trigrams; a doc qualifies iff for EVERY
+    # query trigram it contains at least one term carrying that trigram.
+    cand = matched.groupBy("term").agg(
+        F.array_sort(F.collect_set("trigram")).alias("gs")
     )
+    decoded = handle.decode_for(cand, _GS_PAYLOAD)
     return (
-        decoded.withColumn("gs", tri_map.getItem(F.col("term")))
-        .select("doc_id", F.explode("gs").alias("g"))
+        decoded.select("doc_id", F.explode("gs").alias("g"))
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("ng"))
         .filter(F.col("ng") == len(gset))

@@ -9,26 +9,33 @@ oracle): a doc matches iff some *token* of the doc has padded-trigram
 Jaccard similarity ≥ threshold with the query word; the doc's score is the
 max such similarity. Default threshold 0.3 (pg_trgm similarity_threshold).
 
-Execution is pure JVM DataFrame algebra — no UDF:
+Execution is pure distributed DataFrame algebra — nothing is collected to
+the driver (GIN/GiST index probes never touch the client either,
+mv_books_dc.sql:472-487):
 
-1. query word → padded trigram set Q (driver-side, tiny)
+1. query word → padded trigram set Q (driver-side literal, tiny and fixed)
 2. ``trigram_terms`` (vocabulary-sized) filtered to Q → per candidate term
    the share count c; Jaccard = c / (|Q| + n_trigrams − c); keep ≥ τ.
    Only terms sharing ≥1 trigram are ever touched (the index access path).
-3. candidate terms (collected — bounded by vocabulary ∩ Q, typically
-   hundreds) → partition-pruned posting decode → per-doc max similarity.
+3. candidate (term, sim) DataFrame → broadcast-joined to the posting
+   blocks (``IndexHandle.decode_for``) → per-doc max similarity. The
+   candidate set stays on executors as a join payload — the plan is O(1)
+   in candidate-vocabulary size (a source-code corpus has unbounded
+   identifier vocabulary; a create_map-literal plan would OOM the driver).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from project_gutenberg_full_text_search_spark.functions.text import word_trigrams
 from project_gutenberg_full_text_search_spark.operators.bm25 import IndexHandle
 
 DEFAULT_SIM_THRESHOLD = 0.3
 MAX_CANDIDATE_TERMS = 10_000
+_SIM_PAYLOAD = T.StructType([T.StructField("sim", T.DoubleType(), False)])
 
 
 def fuzzy_terms(
@@ -55,6 +62,15 @@ def fuzzy_terms(
     )
 
 
+def _capped_terms(handle: IndexHandle, word: str, threshold: float) -> DataFrame:
+    """Candidate (term, sim), capped for pathological queries (e.g. 1-char
+    words matching half the vocabulary — pg behavior for those is unusably
+    broad anyway). The cap is a deterministic top-K (sim DESC, term ASC)
+    computed on executors; only the broadcast exchange ships the rows."""
+    cand = fuzzy_terms(handle, word, threshold)
+    return cand.orderBy(F.desc("sim"), F.asc("term")).limit(MAX_CANDIDATE_TERMS)
+
+
 def fuzzy_candidates(
     handle: IndexHandle,
     word: str,
@@ -62,21 +78,10 @@ def fuzzy_candidates(
     round_digits: int = 4,
 ) -> DataFrame:
     """All matching docs, unsorted: (doc_id, sim = max over matching tokens)."""
-    cand = fuzzy_terms(handle, word, threshold).collect()
-    spark = handle.spark
-    if not cand:
-        return spark.createDataFrame([], "doc_id bigint, sim double")
-    if len(cand) > MAX_CANDIDATE_TERMS:
-        # pathological query (e.g. 1-char word): keep the best candidates —
-        # matches pg behavior of such queries being unusably broad anyway.
-        cand = sorted(cand, key=lambda r: -r["sim"])[:MAX_CANDIDATE_TERMS]
-    sims = {r["term"]: float(r["sim"]) for r in cand}
-    decoded = handle.decode(list(sims)).select("doc_id", "term")
-    sim_expr = F.create_map(*[x for t, s in sims.items() for x in (F.lit(t), F.lit(s))])
-    return (
-        decoded.withColumn("sim_t", sim_expr.getItem(F.col("term")))
-        .groupBy("doc_id")
-        .agg(F.round(F.max("sim_t"), round_digits).alias("sim"))
+    cand = _capped_terms(handle, word, threshold)
+    decoded = handle.decode_for(cand, _SIM_PAYLOAD)
+    return decoded.groupBy("doc_id").agg(
+        F.round(F.max("sim"), round_digits).alias("sim")
     )
 
 
@@ -96,8 +101,6 @@ def fuzzy_search(
 
 
 def fuzzy_count(handle: IndexHandle, word: str, threshold: float = DEFAULT_SIM_THRESHOLD) -> int:
-    cand = fuzzy_terms(handle, word, threshold).collect()
-    if not cand:
-        return 0
-    terms = [r["term"] for r in cand][:MAX_CANDIDATE_TERMS]
-    return handle.decode(terms).select("doc_id").distinct().count()
+    cand = _capped_terms(handle, word, threshold)
+    decoded = handle.decode_for(cand, _SIM_PAYLOAD)
+    return decoded.select("doc_id").distinct().count()

@@ -38,13 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_gutenberg_full_text_search_spark.operators.build_index import (
-    N_TBUCKETS,
     POSTINGS_SCHEMA,
     _encode_blocks_gen,
     block_key_expr,
     build_norms,
     ensure_doc_ids,
     read_norms,
+    tbucket_col,
     tokenize_docs,
 )
 from project_gutenberg_full_text_search_spark.sources.tables import read_json, write_json
@@ -109,10 +109,7 @@ def append_docs(
         os.path.join(index_dir, "norms", f"shard={shard_label}")
     )
 
-    tbucket_expr = F.pmod(
-        F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
-        F.lit(N_TBUCKETS),
-    )
+    tbucket_expr = tbucket_col()
     tokens = (
         tokenize_docs(new_docs, text_col)
         .withColumn("block_key", block_key_expr(block_range))

@@ -72,3 +72,57 @@ def test_contains_short_query_falls_back(handle, small_corpus):
     got = contains_search(handle, small_corpus, "xy")
     exp = contains_naive(small_corpus, "xy")
     assert got.count() == exp.count()
+
+
+@pytest.fixture(scope="module")
+def wide_vocab_index(spark, tmp_path_factory):
+    """Index whose vocabulary shares trigrams with the query at >10k terms —
+    the regime where a collect+literal-map candidate path would blow up the
+    driver/plan; the broadcast-join path must stay correct and capped."""
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.operators.build_index import build_index
+
+    n_docs, terms_per_doc = 250, 50  # 12,500 distinct 'abc<i>' terms
+    rows = []
+    for d in range(n_docs):
+        toks = [f"abc{d * terms_per_doc + j}" for j in range(terms_per_doc)]
+        rows.append((d, f"r{d % 7}", f"p/{d}.py", "c0", "py", " ".join(toks)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path_factory.mktemp("wide_vocab_idx"))
+    build_index(spark, spark.createDataFrame(pdf), d, input_fingerprint="widevocab")
+    return IndexHandle.open(spark, d)
+
+
+def test_fuzzy_over_10k_candidate_terms(wide_vocab_index):
+    from project_gutenberg_full_text_search_spark.operators.fuzzy import (
+        MAX_CANDIDATE_TERMS,
+        fuzzy_terms,
+    )
+
+    h = wide_vocab_index
+    # every vocab term shares the 'abc' trigrams with the query word
+    n_cand = fuzzy_terms(h, "abc1234", threshold=0.05).count()
+    assert n_cand > MAX_CANDIDATE_TERMS
+    got = fuzzy_search(h, "abc1234", threshold=0.05, k=5).toPandas()
+    # the exact term survives the deterministic cap and ranks first
+    assert got["sim"].iloc[0] == 1.0
+    top_doc = got["doc_id"].iloc[0]
+    assert top_doc == 1234 // 50
+    # determinism across runs despite the cap
+    again = fuzzy_search(h, "abc1234", threshold=0.05, k=5).toPandas()
+    assert got["doc_id"].tolist() == again["doc_id"].tolist()
+    assert got["sim"].tolist() == again["sim"].tolist()
+
+
+def test_contains_broadcast_path_wide_vocab(wide_vocab_index, spark):
+    import pandas as pd
+
+    h = wide_vocab_index
+    docs = h.norms().select("doc_id")  # ids only; rebuild text for verify
+    cands = contains_candidates(h, "abc1234")
+    assert cands is not None
+    ids = {r["doc_id"] for r in cands.collect()}
+    assert 1234 // 50 in ids
