@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_gutenberg_full_text_search_spark import BM25_B, BM25_K1
-from project_gutenberg_full_text_search_spark.functions.hashing import md5_long_sql
+from project_gutenberg_full_text_search_spark.functions.hashing import (
+    MINHASH_MOD,
+    md5_long_sql,
+    minhash_lane_consts,
+)
 from project_gutenberg_full_text_search_spark.functions.text import (
     TOKEN_SPLIT_RE,
     word_trigrams,
@@ -186,6 +190,26 @@ ORDER BY round(s, 4) DESC, doc_id ASC LIMIT {k}
 
 
 _MINHASH_K = 8
+
+
+def _lane_values_sql(k: int) -> str:
+    """VALUES table (seed, a, b) of the k md5-derived minhash lane consts."""
+    a, b = minhash_lane_consts(k)
+    return ", ".join(f"({s}, {int(a[s])}, {int(b[s])})" for s in range(k))
+
+
+def _minhash_sig_cte(k: int) -> str:
+    """CTEs sh/seeds/mh: per-(doc, seed) minhash over distinct shingles."""
+    return f"""sh AS ({_SHINGLE_SQL}),
+seeds AS (SELECT * FROM (VALUES {_lane_values_sql(k)}) t(seed, a, b)),
+mh AS (
+  SELECT doc_id, seed,
+         list_min(list_transform(sh.shingles,
+             x -> ((a::HUGEINT * {md5_long_sql('x')} + b) % {MINHASH_MOD})::BIGINT)) AS minhash
+  FROM sh, seeds
+)"""
+
+
 _SHINGLE_SQL = f"""
 SELECT doc_id,
        CASE WHEN len(toks) >= 3
@@ -557,11 +581,8 @@ def build_registry():
     reg(
         "dedup_minhash_sigs",
         dd_minhash,
-        f"""WITH sh AS ({_SHINGLE_SQL}), seeds AS (SELECT unnest(range({_MINHASH_K})) AS seed)
-            SELECT doc_id, seed::INT AS seed,
-                   list_min(list_transform(sh.shingles,
-                        x -> (('0x' || substring(md5(seed::VARCHAR || ':' || x), 1, 15))::BIGINT))) AS minhash
-            FROM sh, seeds""",
+        f"""WITH {_minhash_sig_cte(_MINHASH_K)}
+            SELECT doc_id, seed::INT AS seed, minhash FROM mh""",
     )
 
     def dd_simhash(spark, sf_dir):
@@ -587,7 +608,36 @@ def build_registry():
         docs = _documents(spark, sf_dir, spread=True)
         return dedup.minhash_dedup_pairs(docs, "text", threshold=0.5)
 
-    reg("dedup_minhash_pairs", dd_pairs)  # rows-only: pair join not oracled
+    # full oracle twin of the LSH pipeline: lane minhashes → band hashes
+    # (md5_long of the comma-joined 4-lane slice, identical to Spark's
+    # concat_ws over slice()) → bucket self-join → exact-Jaccard verify.
+    _jac = (
+        "round(len(list_intersect(a.shingles, b.shingles))::DOUBLE"
+        " / len(list_distinct(a.shingles || b.shingles))::DOUBLE, 4)"
+    )
+    _band_arg = (
+        "array_to_string(list_transform(sig[band*4+1 : band*4+4],"
+        " v -> v::VARCHAR), ',')"
+    )
+    reg(
+        "dedup_minhash_pairs",
+        dd_pairs,
+        f"""WITH {_minhash_sig_cte(16)},
+            sigs AS (SELECT doc_id, list(minhash ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, band, {md5_long_sql(_band_arg)} AS bh
+              FROM sigs, (SELECT unnest(range(4)) AS band) bd
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+            )
+            SELECT c.id_a AS id_a, c.id_b AS id_b, {_jac} AS jaccard
+            FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                        JOIN sh b ON b.doc_id = c.id_b
+            WHERE {_jac} >= 0.5""",
+    )
 
     # ---- similarity search ----
     def _qvec(spark, sf_dir):
@@ -636,9 +686,33 @@ def build_registry():
 
     def ann_lsh(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
-        return similarity.ann_lsh_topk(emb, _qvec(spark, sf_dir), k=5)
+        # testdata embeddings are unclustered → small buckets; widen the
+        # multi-probe radius so the demo returns a full k.
+        return similarity.ann_lsh_topk(
+            emb, _qvec(spark, sf_dir), k=5, probe_hamming=4
+        )
 
-    reg("ann_lsh_top5", ann_lsh)  # rows-only (approximate path)
+    # exact DuckDB twin: the seeded hyperplane matrix regenerates the same
+    # buckets (left-to-right sums → bit-identical doubles), and the
+    # multi-probe set "hamming ≤ r of the query bucket" is one bit_count.
+    _planes = similarity.hyperplane_matrix(64)
+    _cosq = (
+        "round(list_dot_product(b.v, q.qv)"
+        " / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4)"
+    )
+    reg(
+        "ann_lsh_top5",
+        ann_lsh,
+        f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         {similarity.hyperplane_bucket_sql('embedding', _planes)} AS bucket
+                  FROM embeddings),
+            qb AS (SELECT {similarity.hyperplane_bucket_sql('q.qv', _planes)} AS bucket FROM q)
+            SELECT b.vec_id AS vec_id, {_cosq} AS cos
+            FROM b, q, qb
+            WHERE bit_count(xor(b.bucket, qb.bucket)) <= 4
+            ORDER BY cos DESC, vec_id ASC LIMIT 5""",
+    )
 
     # ---- text analysis ----
     def tp(spark, sf_dir):
@@ -689,7 +763,7 @@ def build_registry():
             FROM f""",
     )
 
-    # ---- multimodal plumbing (stubbed decode → rows-only check) ----
+    # ---- multimodal plumbing (decode stubbed; plumbing fully oracled) ----
     def mm(spark, sf_dir):
         from project_gutenberg_full_text_search_spark.operators import multimodal
 
@@ -697,7 +771,18 @@ def build_registry():
         feats = multimodal.extract_features(media, fake=True)
         return feats.select("media_id", "media_type", "n_bytes")
 
-    reg("multimodal_features", mm)
+    # synthesize_media payloads are sha256-digest repeats: n_bytes and the
+    # type rotation are closed-form, so the distributed extract pipeline's
+    # selected columns have an exact DuckDB twin (feature VALUES determinism
+    # is pytest-asserted; DuckDB lacks sha256 over BLOB to twin them in SQL).
+    reg(
+        "multimodal_features",
+        mm,
+        """SELECT i::BIGINT AS media_id,
+                  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                  (32 * (1 + i % 5))::BIGINT AS n_bytes
+           FROM range(60) t(i)""",
+    )
 
     # ---- JSON extraction (B11 analog: nested-doc ops) ----
     def json_extract(spark, sf_dir):
@@ -740,29 +825,11 @@ def build_registry():
            FROM customer""",
     )
 
-    # ---- n-gram Jaccard near-dup pairs (exact, oracled) ----
+    # ---- n-gram Jaccard near-dup pairs (exact, oracled, no cartesian:
+    # inverted shingle self-join — see dedup.ngram_jaccard_pairs) ----
     def ngram_pairs(spark, sf_dir):
         docs = _documents(spark, sf_dir, spread=True)
-        sh = docs.select(
-            "doc_id", dedup.shingles_expr("text").alias("sh")
-        )
-        a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-        pair = (
-            a.crossJoin(b)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.size(F.array_intersect("sh_a", "sh_b"))
-                    / F.size(F.array_union("sh_a", "sh_b")),
-                    4,
-                ),
-            )
-            .filter(F.col("jaccard") >= 0.2)
-            .select("id_a", "id_b", "jaccard")
-        )
-        return pair
+        return dedup.ngram_jaccard_pairs(docs, "text", threshold=0.2)
 
     reg(
         "dedup_ngram_jaccard_pairs",

@@ -49,3 +49,41 @@ def seeded_hash_sql(expr: str, seed: int) -> str:
 
 def seeded_hash_py(s: str, seed: int) -> int:
     return md5_long_py(f"{seed}:{s}")
+
+
+# ---------------------------------------------------------------------------
+# MinHash lane hashes: h_s(x) = (A_s * md5_long(x) + B_s) mod 2^60
+#
+# One md5 per unique shingle, k numpy-vectorized affine lanes on top —
+# instead of k md5 calls per shingle. Cross-engine exact because uint64
+# wrap-around then low-60-bit mask ≡ mod 2^60 (2^60 divides 2^64), which
+# DuckDB reproduces with HUGEINT arithmetic:
+#     ((A::HUGEINT * hv + B) % 1152921504606846976)::BIGINT
+# The lane constants are themselves md5-derived (deterministic, no RNG).
+# ---------------------------------------------------------------------------
+
+MINHASH_MOD = 1 << 60
+
+
+def minhash_lane_consts(k: int):
+    """(A, B) uint64 arrays of k affine-lane constants; A odd (bijective
+    multiplier mod 2^60)."""
+    import numpy as np
+
+    a = np.array([md5_long_py(f"a:{s}") | 1 for s in range(k)], dtype=np.uint64)
+    b = np.array([md5_long_py(f"b:{s}") for s in range(k)], dtype=np.uint64)
+    return a, b
+
+
+def minhash_hash_py(s: str, seed: int) -> int:
+    """Python twin of lane `seed` applied to shingle `s` (tests/oracles)."""
+    a = md5_long_py(f"a:{seed}") | 1
+    b = md5_long_py(f"b:{seed}")
+    return (a * md5_long_py(s) + b) % MINHASH_MOD
+
+
+def minhash_hash_sql(expr: str, seed: int) -> str:
+    """DuckDB fragment for lane `seed` over shingle expression `expr`."""
+    a = md5_long_py(f"a:{seed}") | 1
+    b = md5_long_py(f"b:{seed}")
+    return f"((({a}::HUGEINT * {md5_long_sql(expr)}) + {b}) % {MINHASH_MOD})::BIGINT"

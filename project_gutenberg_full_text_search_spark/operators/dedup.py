@@ -79,44 +79,71 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[k]) — sig[s] = min over shingles of h_s(x).
 
-    h_s(x) = md5_long(f"{s}:{x}") — seeded, cross-engine reproducible.
-    Docs with no shingles get sig[s] = NULL (kept, never bucketed).
+    h_s(x) = (A_s · md5_long(x) + B_s) mod 2^60 with md5-derived lane
+    constants (functions/hashing.py) — seeded, cross-engine reproducible
+    in DuckDB via HUGEINT arithmetic. Docs with no shingles get
+    sig[s] = NULL (kept, never bucketed).
 
-    Vectorized mapInPandas: one md5 per (shingle, seed) in a tight loop.
-    (A pure higher-order-function formulation exists but nested lambdas
-    fall out of whole-stage codegen and the string-built md5 chain is
-    ~50× slower — measured, not guessed.)
+    Vectorized mapInPandas: ONE md5 per unique shingle in the Arrow batch
+    (np.unique dedups across docs — duplicate-heavy corpora pay ~nothing),
+    then all k lanes as a single numpy affine broadcast and per-doc
+    minimum.reduceat. The former per-(doc × seed × shingle) md5 loop was
+    the dominant per-byte cost of the dedup plane at scale; a pure
+    higher-order-function formulation is worse still (~50× — nested
+    lambdas fall out of whole-stage codegen; measured, not guessed).
     """
     import hashlib
 
+    import numpy as np
     import pandas as pd
 
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        MINHASH_MOD,
+        minhash_lane_consts,
+    )
     from project_gutenberg_full_text_search_spark.functions.text import tokenize_str
+
+    A, B = minhash_lane_consts(k)
+    mask = np.uint64(MINHASH_MOD - 1)
 
     def gen(batches):
         for pdf in batches:
-            sigs = []
+            doc_sh: list[list[str]] = []
             for text in pdf[text_col].tolist():
                 toks = tokenize_str(text)
-                shingles = list(
-                    dict.fromkeys(
-                        " ".join(toks[i : i + shingle_n])
-                        for i in range(len(toks) - shingle_n + 1)
-                    )
-                )
-                if not shingles:
-                    sigs.append([None] * k)
-                    continue
-                sig = []
-                for s in range(k):
-                    pre = f"{s}:".encode()
-                    sig.append(
-                        min(
-                            int(hashlib.md5(pre + x.encode()).hexdigest()[:15], 16)
-                            for x in shingles
+                doc_sh.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + shingle_n])
+                            for i in range(len(toks) - shingle_n + 1)
                         )
                     )
-                sigs.append(sig)
+                )
+            flat = np.array(
+                [s for sh in doc_sh for s in sh], dtype=object
+            )
+            if len(flat):
+                uniq, inv = np.unique(flat, return_inverse=True)
+                hv_u = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in uniq
+                    ),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                with np.errstate(over="ignore"):
+                    lanes = (hv_u[:, None] * A[None, :] + B[None, :]) & mask
+                lanes = lanes[inv]  # (n_flat, k), doc-contiguous
+            sigs = []
+            off = 0
+            for sh in doc_sh:
+                n = len(sh)
+                if n == 0:
+                    sigs.append([None] * k)
+                    continue
+                sigs.append(lanes[off : off + n].min(axis=0).astype(np.int64).tolist())
+                off += n
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(
@@ -201,6 +228,50 @@ def minhash_dedup_pairs(
     return j
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT shingle-Jaccard near-dup pairs without a cartesian product.
+
+    Any pair with jaccard > 0 shares ≥1 shingle, so candidates come from
+    an inverted (shingle → doc) self-join; the per-pair match count from
+    that join IS |A∩B| (shingle sets are distinct), and
+    |A∪B| = |A| + |B| − |A∩B|. Non-overlapping pairs are never
+    enumerated — the work is Σ_g df(g)², not N². Hot shingles are the
+    skew axis; AQE skew-join splits them (at 100 TB also pre-drop
+    stop-shingles above a df cap — that keeps exactness for any pair
+    whose union contains at least one sub-cap shingle).
+    """
+    sh = df.select(F.col(id_col), shingles_expr(text_col, shingle_n).alias("sh"))
+    sized = sh.select(
+        F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
+    )
+    a = sized.select(
+        F.col("g"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")
+    )
+    b = sized.select(
+        F.col("g"), F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")
+    )
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -212,10 +283,14 @@ def simhash(
     """(id, simhash): tf-weighted sign fingerprint over term hashes.
 
     bit_i = 1 iff sum over terms of tf * (2*bit_i(h(term)) - 1) > 0, with
-    h = the cross-engine md5 hash. Implemented as a vectorized mapInPandas
-    single pass (numpy terms-by-bits sign matrix per doc); the pure
-    column-algebra formulation re-evaluates the token aggregation once per
-    bit -- O(bits * tokens * terms) per row -- pathological on wide docs.
+    h = the cross-engine md5 hash. Vectorized mapInPandas: ONE md5 per
+    unique term in the Arrow BATCH (np.unique across docs — corpora share
+    most of their vocabulary, so this collapses the former per-doc hash
+    loop), then the per-doc weighted bit sums as a single
+    numpy add.reduceat over the batch's (term × bits) sign matrix. The
+    pure column-algebra formulation re-evaluates the token aggregation
+    once per bit -- O(bits * tokens * terms) per row -- pathological on
+    wide docs.
     """
     import hashlib
 
@@ -228,20 +303,34 @@ def simhash(
 
     def gen(batches):
         for pdf in batches:
-            out = []
+            per_doc = []  # (terms, counts) per doc
             for toks in tokenize_batch(pdf[text_col].tolist()):
                 if len(toks) == 0:
-                    out.append(0)
+                    per_doc.append(None)
                     continue
-                terms, counts = np.unique(toks, return_counts=True)
-                hs = np.fromiter(
-                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in terms),
+                per_doc.append(np.unique(toks, return_counts=True))
+            nonempty = [p for p in per_doc if p is not None]
+            out = np.zeros(len(per_doc), dtype=np.int64)
+            if nonempty:
+                all_terms = np.concatenate([t for t, _ in nonempty])
+                all_counts = np.concatenate([c for _, c in nonempty]).astype(np.int64)
+                uniq, inv = np.unique(all_terms, return_inverse=True)
+                hs_u = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in uniq),
                     dtype=np.uint64,
-                    count=len(terms),
+                    count=len(uniq),
                 )
-                signs = (((hs[:, None] >> bit_idx[None, :]) & 1) * 2).astype(np.int64) - 1
-                w = (counts[:, None].astype(np.int64) * signs).sum(axis=0)
-                out.append(int(((w > 0).astype(np.uint64) << bit_idx).sum()))
+                signs = (((hs_u[:, None] >> bit_idx[None, :]) & 1) * 2).astype(
+                    np.int64
+                ) - 1
+                weighted = all_counts[:, None] * signs[inv]  # (rows, bits)
+                lens = np.array([len(t) for t, _ in nonempty])
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                w = np.add.reduceat(weighted, starts, axis=0)  # (docs, bits)
+                fps = ((w > 0).astype(np.uint64) << bit_idx[None, :]).sum(axis=1)
+                out[[i for i, p in enumerate(per_doc) if p is not None]] = (
+                    fps.astype(np.int64)
+                )
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "simhash": pd.Series(out, dtype="int64")}
             )

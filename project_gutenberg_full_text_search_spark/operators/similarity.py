@@ -1,14 +1,29 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
 Brute-force cosine top-k as the exact baseline (pure JVM column algebra —
-zip_with/aggregate, no UDF), and a sign-bit LSH-bucketed variant as the
-scale path: at 100 TB the bucket column partitions the corpus so a query
-probes one bucket (plus optional neighbor buckets), turning a full scan
-into a partition-pruned scan.
+zip_with/aggregate, no UDF), and a random-hyperplane LSH-bucketed variant
+as the scale path: a seeded projection matrix gives ``nbits`` sign bits
+per vector (SimHash-for-vectors), the corpus is written partitioned by
+that bucket, and a query probes only the buckets within a small hamming
+radius of its own (multi-probe) — turning a full scan into a
+partition-pruned scan of ~C(nbits, ≤r)/2^nbits of the data.
+
+Everything is seed-deterministic: the projection matrix regenerates from
+(dim, nbits, seed) on any engine, and the bucket expression is built as a
+left-to-right chained sum so Spark, DuckDB, and Python produce
+bit-identical IEEE doubles → identical buckets (oracle-able end to end).
+
+The legacy fixed-coordinate sign-bit bucketing (`signbit_bucket_col`)
+remains for the cheap raw-coordinate variant, but raw coordinates are
+usually correlated/unbalanced — random hyperplanes give unskewed buckets
+and tunable width, so they are the default for ann_lsh_topk.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +88,76 @@ def signbit_bucket_col(vec_col: Column, dims: list[int]) -> Column:
 
 DEFAULT_LSH_DIMS = [0, 7, 14, 21, 28, 35, 42, 49]
 
+DEFAULT_LSH_NBITS = 16
+DEFAULT_LSH_SEED = 42
+DEFAULT_PROBE_HAMMING = 2
+
+
+def hyperplane_matrix(
+    dim: int, nbits: int = DEFAULT_LSH_NBITS, seed: int = DEFAULT_LSH_SEED
+) -> np.ndarray:
+    """Seeded (nbits × dim) gaussian projection matrix — regenerates
+    identically anywhere from (dim, nbits, seed); the seed is the only
+    state the index needs to ship."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def _plane_dot_col(vec_col: Column, row: np.ndarray) -> Column:
+    """Left-to-right chained sum Σ_d w_d · v[d] — the SAME association
+    order as the SQL/Python twins, so sign bits are bit-identical."""
+    terms = (
+        F.lit(float(w)) * F.element_at(vec_col, d + 1).cast("double")
+        for d, w in enumerate(row)
+    )
+    return reduce(lambda acc, t: acc + t, terms)
+
+
+def hyperplane_bucket_col(vec_col: Column, planes: np.ndarray) -> Column:
+    out = F.lit(0).cast("long")
+    for i, row in enumerate(planes):
+        out = out + F.when(_plane_dot_col(vec_col, row) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out.cast("long")
+
+
+def hyperplane_bucket_py(vec, planes: np.ndarray) -> int:
+    qb = 0
+    for i, row in enumerate(planes):
+        dot = reduce(
+            lambda acc, t: acc + t,
+            (float(w) * float(x) for w, x in zip(row, vec)),
+        )
+        if dot >= 0:
+            qb |= 1 << i
+    return qb
+
+
+def hyperplane_bucket_sql(vec_expr: str, planes: np.ndarray) -> str:
+    """DuckDB fragment computing the identical bucket (left-to-right sums)."""
+    bits = []
+    for i, row in enumerate(planes):
+        dot = " + ".join(
+            f"({float(w)!r} * {vec_expr}[{d + 1}]::DOUBLE)" for d, w in enumerate(row)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def probe_buckets(qb: int, nbits: int, radius: int) -> list[int]:
+    """All buckets within hamming `radius` of qb (multi-probe set)."""
+    from itertools import combinations
+
+    out = [qb]
+    for r in range(1, radius + 1):
+        for flip in combinations(range(nbits), r):
+            m = 0
+            for f in flip:
+                m |= 1 << f
+            out.append(qb ^ m)
+    return out
+
 
 def ann_lsh_topk(
     emb: DataFrame,
@@ -80,23 +165,29 @@ def ann_lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: list[int] | None = None,
+    nbits: int = DEFAULT_LSH_NBITS,
+    seed: int = DEFAULT_LSH_SEED,
+    probe_hamming: int = DEFAULT_PROBE_HAMMING,
+    bucket_col: str | None = None,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine within the query's sign-bit bucket.
+    """Approximate top-k: exact cosine within the query's multi-probe
+    bucket set (all buckets within hamming ≤ probe_hamming of the query's
+    random-hyperplane bucket).
 
-    Recall trades against the number of bucket bits (documented: single
-    bucket probe; multi-probe of hamming-1 neighbors is a straightforward
-    extension via isin()).
+    The probe set is enumerated driver-side (C(nbits, ≤r) ints) and
+    applied with isin(), so on a table written partitioned by the bucket
+    column this is a partition-pruned scan. Pass ``bucket_col`` to use a
+    precomputed/stored bucket column instead of recomputing projections.
     """
-    dims = dims or DEFAULT_LSH_DIMS
-    qb = 0
-    for i, d in enumerate(dims):
-        if float(query_vec[d]) >= 0:
-            qb |= 1 << i
-    bucketed = emb.withColumn("_bucket", signbit_bucket_col(F.col(vec_col), dims))
+    planes = hyperplane_matrix(len(query_vec), nbits, seed)
+    qb = hyperplane_bucket_py(query_vec, planes)
+    probes = probe_buckets(qb, nbits, probe_hamming)
+    if bucket_col is None:
+        emb = emb.withColumn("_bucket", hyperplane_bucket_col(F.col(vec_col), planes))
+        bucket_col = "_bucket"
     return cosine_topk(
-        bucketed.filter(F.col("_bucket") == qb),
+        emb.filter(F.col(bucket_col).isin(probes)),
         query_vec,
         k,
         id_col,

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from project_gutenberg_full_text_search_spark.functions.hashing import (
     md5_long_py,
-    seeded_hash_py,
+    minhash_hash_py,
 )
 from project_gutenberg_full_text_search_spark.functions.text import tokenize_str
 from project_gutenberg_full_text_search_spark.operators import dedup, multimodal, similarity, textstats
@@ -87,8 +87,44 @@ def test_minhash_signature_matches_python(documents, docs_pdf):
     sigs = dedup.minhash_signatures(documents, "text", k=8).toPandas()
     row = sigs[sigs.doc_id == 1].iloc[0]
     sh = _py_shingles(docs_pdf[docs_pdf.doc_id == 1].text.iloc[0])
-    exp = [min(seeded_hash_py(x, s) for x in sh) for s in range(8)]
+    exp = [min(minhash_hash_py(x, s) for x in sh) for s in range(8)]
     assert list(row.sig) == exp
+
+
+def test_minhash_lane_hash_matches_duckdb():
+    import duckdb
+
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        minhash_hash_sql,
+    )
+
+    for s in (0, 3, 15):
+        frag = minhash_hash_sql("'foo bar'", s)
+        got = duckdb.sql(f"SELECT {frag}").fetchone()[0]
+        assert got == minhash_hash_py("foo bar", s), s
+
+
+def test_ngram_jaccard_pairs_exact_no_cartesian(spark, documents, docs_pdf):
+    pairs = dedup.ngram_jaccard_pairs(documents, "text", threshold=0.2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in pairs.collect()
+    }
+    # brute-force twin over the full (small) corpus
+    sh = {r.doc_id: set(_py_shingles(r.text)) for r in docs_pdf.itertuples(index=False)}
+    exp = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            u = sh[a] | sh[b]
+            if not u:
+                continue
+            j = round(len(sh[a] & sh[b]) / len(u), 4)
+            if j >= 0.2:
+                exp[(a, b)] = j
+    assert got == pytest.approx(exp)
 
 
 def test_minhash_dedup_finds_planted_dups(spark, documents):
@@ -214,3 +250,52 @@ def test_media_stats(spark):
     st = multimodal.media_stats(media).toPandas()
     assert st.media_type.tolist() == ["audio", "image", "video"]
     assert st.n.sum() == 30
+
+
+def test_hyperplane_bucket_cross_engine(emb_pdf):
+    """Spark, DuckDB, and Python bucket expressions are bit-identical."""
+    import duckdb
+
+    planes = similarity.hyperplane_matrix(64, nbits=16, seed=42)
+    con = duckdb.connect()
+    con.register("e", emb_pdf[["vec_id", "embedding"]])
+    frag = similarity.hyperplane_bucket_sql("embedding", planes)
+    duck = dict(
+        con.execute(f"SELECT vec_id, {frag} AS b FROM e ORDER BY vec_id").fetchall()
+    )
+    for r in emb_pdf.head(50).itertuples(index=False):
+        assert similarity.hyperplane_bucket_py(list(r.embedding), planes) == duck[r.vec_id]
+
+
+def test_hyperplane_bucket_spark_matches_python(embeddings, emb_pdf):
+    from pyspark.sql import functions as F
+
+    planes = similarity.hyperplane_matrix(64, nbits=16, seed=42)
+    got = dict(
+        embeddings.select(
+            "vec_id",
+            similarity.hyperplane_bucket_col(F.col("embedding"), planes).alias("b"),
+        ).collect()
+    )
+    for r in emb_pdf.head(50).itertuples(index=False):
+        assert got[r.vec_id] == similarity.hyperplane_bucket_py(list(r.embedding), planes)
+
+
+def test_ann_lsh_recall_at_10(spark):
+    """Multi-probe hyperplane LSH recall@10 ≥ 0.9 vs exact cosine top-k on
+    a clustered corpus (10 planted near-neighbors of the query)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((1000, 32)).astype(np.float32)
+    q = base[0]
+    planted = q[None, :] + 0.1 * rng.standard_normal((10, 32)).astype(np.float32)
+    M = np.vstack([base, planted])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(M)), "embedding": [row.tolist() for row in M]}
+    )
+    emb = spark.createDataFrame(pdf)
+    exact = similarity.cosine_topk(emb, q.tolist(), k=10).toPandas()
+    approx = similarity.ann_lsh_topk(emb, q.tolist(), k=10).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.9, recall
