@@ -22,6 +22,7 @@ the parquet scan.
 from __future__ import annotations
 
 import math
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -65,6 +66,22 @@ _FIELD_TEXT = {
 }
 
 
+def _sql_literal(v) -> str:
+    """Render a bound parameter value as a safe Spark-SQL literal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, set):
+        v = sorted(v)  # determinism
+    if isinstance(v, (list, tuple)):
+        return "(" + ", ".join(_sql_literal(x) for x in v) + ")"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
 @dataclass
 class SearchQuery:
     _search: list[tuple[str, SearchField, SearchType]] = field(default_factory=list)
@@ -73,7 +90,8 @@ class SearchQuery:
     _sort_dir: SortDirection | None = None
     _page: int = 1
     _page_size: int = 25
-    _crosswalk: Crosswalk = Crosswalk.PG
+    _crosswalk: Crosswalk = Crosswalk.FULL
+    _random_seed: int | None = 42
 
     def __getitem__(self, key) -> "SearchQuery":
         """q[3] → page 3; q[2, 50] → page 2, size 50 (clamped 1..100)."""
@@ -88,9 +106,20 @@ class SearchQuery:
         self._crosswalk = cw
         return self
 
-    def order_by(self, order: OrderBy, direction: SortDirection | None = None) -> "SearchQuery":
+    def order_by(
+        self,
+        order: OrderBy,
+        direction: SortDirection | None = None,
+        seed: int | None = 42,
+    ) -> "SearchQuery":
+        """``seed`` applies to OrderBy.RANDOM only: an int gives a
+        reproducible shuffle (tests, stable pagination); ``None`` matches
+        the reference's truly-random ``RANDOM()``
+        (full_text_search.py:289-293 — documented deviation: our default
+        is seeded)."""
         self._order = order
         self._sort_dir = direction
+        self._random_seed = seed
         return self
 
     def search(
@@ -129,8 +158,11 @@ class SearchQuery:
         self._filter.append(F.col("copyrighted") == 1)
         return self
 
-    def lang(self, code: str) -> "SearchQuery":
-        self._filter.append(F.array_contains(F.col("lang_codes"), code.lower()))
+    def lang(self, code) -> "SearchQuery":
+        """Accepts a Language enum or a bare code string (reference
+        full_text_search.py lang(); enum surface constants.py:73-150)."""
+        code = getattr(code, "code", code)
+        self._filter.append(F.array_contains(F.col("lang_codes"), str(code).lower()))
         return self
 
     def text_only(self) -> "SearchQuery":
@@ -165,7 +197,9 @@ class SearchQuery:
         self._filter.append(F.col("release_date") <= F.to_date(F.lit(str(date))))
         return self
 
-    def locc(self, code: str) -> "SearchQuery":
+    def locc(self, code) -> "SearchQuery":
+        """Accepts a LoCCMainClass enum or a code string (prefix match)."""
+        code = getattr(code, "code", code)
         code = str(code).upper()
         self._filter.append(
             F.exists(F.col("locc_codes"), lambda c: c.startswith(code))
@@ -210,9 +244,23 @@ class SearchQuery:
         )
         return self
 
-    def where(self, sql: str) -> "SearchQuery":
-        """Raw Spark-SQL expression escape hatch (reference :255-263)."""
-        self._filter.append(F.expr(sql))
+    def where(self, sql: str, **params) -> "SearchQuery":
+        """Raw Spark-SQL expression escape hatch with named-parameter
+        binding — reference :255-263 (``where("... > :n", n=2)``, usage
+        test.py:191-197). Parameter names starting with ``__p`` are
+        reserved (reference parity); values render as SQL literals
+        (strings escaped, sequences as IN-tuples)."""
+        for k in params:
+            if k.startswith("__p"):
+                raise ValueError(
+                    "Parameter name reserved by search engine: starts with '__p'"
+                )
+        rendered = sql
+        for k in sorted(params, key=len, reverse=True):  # :nn before :n
+            rendered = re.sub(
+                f":{re.escape(k)}\\b", _sql_literal(params[k]), rendered
+            )
+        self._filter.append(F.expr(rendered))
         return self
 
 
@@ -242,7 +290,7 @@ class FullTextSearch:
     def set_custom_transformer(self, fn: Callable) -> None:
         self._custom = fn
 
-    def query(self, crosswalk: Crosswalk = Crosswalk.PG) -> SearchQuery:
+    def query(self, crosswalk: Crosswalk = Crosswalk.FULL) -> SearchQuery:
         q = SearchQuery()
         q._crosswalk = crosswalk
         return q
@@ -350,12 +398,31 @@ class FullTextSearch:
                 F.asc("doc_id"),
             ]
         if o == OrderBy.RANDOM:
-            return [F.rand(42), F.asc("doc_id")]
+            r = F.rand(q._random_seed) if q._random_seed is not None else F.rand()
+            return [r, F.asc("doc_id")]
         # default: DOWNLOADS (reference :71, 287-288)
         if "downloads" in self.mv.columns:
             c = F.col("downloads")
             return [(c.asc() if d == SortDirection.ASC else c.desc()), F.asc("doc_id")]
         return [F.asc("doc_id")]
+
+    def _page_df(self, q: SearchQuery, rank_col, df: DataFrame, page: int) -> DataFrame:
+        """The requested page only — sliced ON EXECUTORS: top-(page·size)
+        via TakeOrderedAndProject, then a row_number window over those ≤
+        page·size rows drops the earlier pages, so the driver collects
+        page_size rows even for deep pages (reference semantics:
+        LIMIT/OFFSET, full_text_search.py:300,306-312)."""
+        from pyspark.sql.window import Window
+
+        order = self._order_exprs(q, rank_col)
+        top = df.orderBy(*order).limit(page * q._page_size)
+        if page > 1:
+            top = (
+                top.withColumn("_pg_rn", F.row_number().over(Window.orderBy(*order)))
+                .filter(F.col("_pg_rn") > (page - 1) * q._page_size)
+                .drop("_pg_rn")
+            )
+        return top
 
     def execute(self, q: SearchQuery) -> dict:
         """Two-query execute + envelope (reference :366-383)."""
@@ -364,9 +431,7 @@ class FullTextSearch:
         total_pages = max(1, math.ceil(total / q._page_size))
         page = min(q._page, total_pages)
         q._page = page
-        ordered = df.orderBy(*self._order_exprs(q, rank_col))
-        rows = ordered.limit(page * q._page_size).collect()
-        page_rows = rows[(page - 1) * q._page_size : page * q._page_size]
+        page_rows = self._page_df(q, rank_col, df, page).collect()
         results = apply_crosswalk(q._crosswalk, page_rows, self._custom)
         return {
             "results": results,

@@ -149,6 +149,7 @@ LOCC_CODES = ["P", "PS", "PS12", "PQ", "Q", "QA", "QA76", "T", "TK", "B"]
 ROLES = ["Author", "Illustrator", "Editor", "Translator"]
 MEDIATYPES = ["text/html", "text/plain", "application/epub+zip", "application/x-mobipocket-ebook"]
 ENCODINGS = ["utf-8", "us-ascii", "iso-8859-1"]
+FILETYPES = ["epub3.images", "epub.images", "html", "cover.medium", "pdf.images", "index"]
 N_SUBJECTS = 40
 N_SHELVES = 15
 N_AUTHORS = 60
@@ -197,10 +198,27 @@ def gen_meta_row(i: int, seed: int = 42) -> dict:
                     "encoding": ENCODINGS[int(rng.integers(0, len(ENCODINGS)))],
                     "filename": f"{i}-{j}.bin",
                     "extent": int(rng.integers(1000, 10_000_000)),
+                    "filetype": FILETYPES[int(rng.integers(0, len(FILETYPES)))],
+                    "hr_filetype": f"Format {j}",
                 }
                 for j in range(int(rng.integers(1, 4)))
             ],
             "bookshelves": [{"id": s, "bookshelf": f"shelf_{s}"} for s in shelf_ids],
+            # OPDS-richness fields (reference crosswalks.py:59-206 reads
+            # these from the Gutenberg dc jsonb; our fixture plants
+            # deterministic analogs so the crosswalk parity is testable)
+            "summary": [f"summary of doc {i}"] if rng.random() < 0.8 else [],
+            "description": [f"note {i}a", f"note {i}b"][: int(rng.integers(0, 3))],
+            "credits": [f"credit_{i % 11}"] if rng.random() < 0.5 else [],
+            "marc": (
+                [{"code": 508, "text": f"Updated: 2020-0{1 + i % 9}-15."}]
+                if rng.random() < 0.6
+                else []
+            )
+            + ([{"code": 908, "text": f"Reading level {i % 5}"}] if rng.random() < 0.3 else []),
+            "rights": "Public domain in the USA." if i % 5 else None,
+            "date": f"19{50 + i % 50}-01-01",
+            "language": [{"code": LANGS[i % len(LANGS)]}],
         },
         "_subj_ids": subj_ids,
         "_shelf_ids": shelf_ids,
@@ -259,6 +277,8 @@ META_SCHEMA = T.StructType(
                                     T.StructField("encoding", T.StringType()),
                                     T.StructField("filename", T.StringType()),
                                     T.StructField("extent", T.LongType()),
+                                    T.StructField("filetype", T.StringType()),
+                                    T.StructField("hr_filetype", T.StringType()),
                                 ]
                             )
                         ),
@@ -272,6 +292,28 @@ META_SCHEMA = T.StructType(
                                     T.StructField("bookshelf", T.StringType()),
                                 ]
                             )
+                        ),
+                    ),
+                    T.StructField("summary", T.ArrayType(T.StringType())),
+                    T.StructField("description", T.ArrayType(T.StringType())),
+                    T.StructField("credits", T.ArrayType(T.StringType())),
+                    T.StructField(
+                        "marc",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("code", T.IntegerType()),
+                                    T.StructField("text", T.StringType()),
+                                ]
+                            )
+                        ),
+                    ),
+                    T.StructField("rights", T.StringType(), True),
+                    T.StructField("date", T.StringType()),
+                    T.StructField(
+                        "language",
+                        T.ArrayType(
+                            T.StructType([T.StructField("code", T.StringType())])
                         ),
                     ),
                 ]
