@@ -90,8 +90,13 @@ def get_vocab() -> list[str]:
     return _VOCAB_CACHE
 
 
-def gen_doc(i: int, seed: int = 42) -> dict:
-    """Generate doc i. Depends only on (seed, i)."""
+def gen_doc(i: int, seed: int = 42, length_scale: float = 1.0) -> dict:
+    """Generate doc i. Depends only on (seed, i, length_scale).
+
+    ``length_scale`` multiplies the token-count distribution (default ~220
+    tokens ≈ 1.3 KB). The scaling bench uses larger docs (~10 KB — typical
+    real source-file size) so per-doc work dominates fixed per-task cost.
+    """
     rng = np.random.default_rng(np.uint64(seed) * np.uint64(0x9E3779B9) + np.uint64(i))
     vocab = get_vocab()
     n_orgs = 17
@@ -101,8 +106,10 @@ def gen_doc(i: int, seed: int = 42) -> dict:
     lang = LANGS[int(rng.integers(0, 36)) % len(LANGS)] if repo_id % 5 else "py"
     path = f"src/pkg{int(rng.integers(0, 40))}/mod{int(rng.integers(0, 30))}/file{i}.{lang}"
     commit = hashlib.sha1(f"{seed}:{repo}:{path}".encode()).hexdigest()
-    # log-normal length 50..5000 tokens
-    n_tok = int(np.clip(np.exp(rng.normal(5.0, 0.9)), 50, 5000))
+    # log-normal length 50..5000 tokens (× length_scale)
+    n_tok = int(
+        np.clip(np.exp(rng.normal(5.0, 0.9)) * length_scale, 50, 5000 * length_scale)
+    )
     ranks = rng.zipf(ZIPF_A, size=n_tok) - 1
     words = [vocab[r % len(vocab)] for r in ranks]
     # lang keywords sprinkled in
@@ -352,13 +359,21 @@ def gen_meta(spark: SparkSession, n_docs: int, seed: int = 42) -> dict[str, Data
     }
 
 
-def gen_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def gen_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    length_scale: float = 1.0,
+) -> DataFrame:
     """Distributed generation: spark.range → mapInPandas (Arrow-batched)."""
     parts = partitions or max(2, spark.sparkContext.defaultParallelism)
     base = spark.range(0, n_docs, 1, parts)
 
     def gen_batches(it):
         for pdf in it:
-            yield pd.DataFrame([gen_doc(int(i), seed) for i in pdf["id"]])
+            yield pd.DataFrame(
+                [gen_doc(int(i), seed, length_scale) for i in pdf["id"]]
+            )
 
     return base.mapInPandas(gen_batches, schema=DOCS_SCHEMA)

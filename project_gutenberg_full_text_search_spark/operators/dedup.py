@@ -8,12 +8,15 @@ operator has a bit-identical DuckDB oracle.
 Scale notes:
 - exact dedup: one hash-groupBy — map-side partial agg, no skew (hashes
   are uniform).
-- MinHash/LSH: signatures are computed row-local (pure JVM column algebra,
-  no UDF, no shuffle); the only shuffle is the band-bucket self-join,
+- MinHash/LSH: signatures are computed row-local in one Arrow-batched
+  mapInPandas pass (one md5 per unique shingle per batch, k numpy affine
+  lanes — no shuffle); the only shuffle is the band-bucket self-join,
   which AQE skew-splits if a bucket is hot. Band count/rows tune the
   recall/precision curve as usual.
-- SimHash: row-local bit algebra, then a prefix-bucket join for candidate
-  pairs.
+- SimHash: row-local batch-vectorized bit algebra, then a prefix-bucket
+  join for candidate pairs.
+- n-gram Jaccard: exact pairs via an inverted shingle self-join — never
+  an all-pairs product.
 """
 
 from __future__ import annotations
