@@ -58,10 +58,17 @@ def test_search_feed_envelope_facets_pagination(feeds):
     assert "next" in rels or md["currentPage"] == md.get("totalPages", 10**9)
     facet_titles = {f["metadata"]["title"] for f in feed["facets"]}
     assert {"Sort By", "Copyright", "Format"} <= facet_titles
-    # active facet carries rel: self
+    # active facet carries rel: self; empty sort marks "Most Popular"
+    # active (reference opds.py:155-160 `sort == "downloads" or not sort`)
     sort_group = next(f for f in feed["facets"] if f["metadata"]["title"] == "Sort By")
     active = [ln for ln in sort_group["links"] if ln.get("rel") == "self"]
-    assert len(active) == 1 and active[0]["title"] == "Relevance"
+    assert len(active) == 1 and active[0]["title"] == "Most Popular"
+    rel_feed = feeds.search(
+        query="merge query", field="fts_keyword", sort="relevance", limit=5
+    )
+    sg = next(f for f in rel_feed["facets"] if f["metadata"]["title"] == "Sort By")
+    act = [ln for ln in sg["links"] if ln.get("rel") == "self"]
+    assert len(act) == 1 and act[0]["title"] == "Relevance"
     # top-subjects facet present for a query'd search with dims
     assert "Top Subjects In Results" in facet_titles
 
