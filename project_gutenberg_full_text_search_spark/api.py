@@ -445,6 +445,22 @@ class FullTextSearch:
         df, _ = self._candidates(q)
         return df.count()
 
+    def get(self, doc_id: int, crosswalk: Crosswalk = Crosswalk.FULL) -> dict | None:
+        """Single-doc fetch. The reference README documents fts.get()
+        (README.md:107-113) though its code never shipped it (SURVEY §2.7
+        doc-drift note); provided here so README-following users port
+        cleanly. Sugar over etext()."""
+        env = self.execute(self.query(crosswalk).etext(doc_id))
+        return env["results"][0] if env["results"] else None
+
+    def get_many(
+        self, doc_ids: list[int], crosswalk: Crosswalk = Crosswalk.FULL
+    ) -> list[dict]:
+        """Batch fetch (reference README.md get_many twin); sugar over
+        etexts(). Returns up to the page-size cap (100) per call."""
+        env = self.execute(self.query(crosswalk).etexts(list(doc_ids))[1, 100])
+        return env["results"]
+
     # --- browse / facets (reference :391-498) ---
     def all_bookshelves(self) -> DataFrame:
         return _facets.all_bookshelves(

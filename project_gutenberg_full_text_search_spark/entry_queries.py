@@ -843,26 +843,52 @@ def build_registry():
                         / len(list_distinct(a.shingles || b.shingles))::DOUBLE, 4) >= 0.2""",
     )
 
-    # ---- embedding near-dup pairs (bucket-blocked, deterministic) ----
+    # ---- embedding near-dup pairs (banded hyperplane LSH, exact twin) ----
+    _EMB_THRESH = 0.35
+    _EMB_BANDS, _EMB_NBITS = 4, 8
+
     def emb_pairs(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
-        return similarity.embedding_neardup_pairs(emb, threshold=0.55)
+        return similarity.embedding_neardup_pairs(
+            emb,
+            threshold=_EMB_THRESH,
+            bands=_EMB_BANDS,
+            nbits_per_band=_EMB_NBITS,
+            dim=64,
+        )
 
-    bucket_sql = " + ".join(
-        f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, d in enumerate(similarity.DEFAULT_LSH_DIMS)
+    _band_cols = ", ".join(
+        similarity.hyperplane_bucket_sql(
+            "embedding",
+            similarity.hyperplane_matrix(
+                64, _EMB_NBITS, similarity.DEFAULT_LSH_SEED + i
+            ),
+        )
+        + f" AS b{i}"
+        for i in range(_EMB_BANDS)
+    )
+    _band_union = " UNION ALL ".join(
+        f"SELECT vec_id, v, {i} AS band, b{i} AS bucket FROM b"
+        for i in range(_EMB_BANDS)
+    )
+    _cos_pair = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4)"
     )
     reg(
         "dedup_embedding_pairs",
         emb_pairs,
-        f"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                              ({bucket_sql})::BIGINT AS bucket FROM embeddings)
-            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-                   round(list_dot_product(a.v, c.v)
-                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-            WHERE round(list_dot_product(a.v, c.v)
-                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4) >= 0.55""",
+        f"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_band_cols}
+                       FROM embeddings),
+            s AS ({_band_union}),
+            cand AS (
+              SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+              FROM s l JOIN s r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+            )
+            SELECT c.id_a AS id_a, c.id_b AS id_b, {_cos_pair} AS cos
+            FROM cand c JOIN b x ON x.vec_id = c.id_a JOIN b y ON y.vec_id = c.id_b
+            WHERE {_cos_pair} >= {_EMB_THRESH}""",
     )
 
     # ---- window functions / per-group top-N (A6 analog) ----

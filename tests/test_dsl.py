@@ -441,3 +441,11 @@ def test_random_order_seed_param(fts):
     c = ids(fts.execute(fts.query(Crosswalk.MINI).order_by(OrderBy.RANDOM, seed=8)[1, 10]))
     assert a == b
     assert a != c  # different seed shuffles differently
+
+
+def test_get_and_get_many(fts):
+    r = fts.get(42, Crosswalk.MINI)
+    assert r["id"] == 42
+    assert fts.get(10**12) is None
+    rs = fts.get_many([5, 6, 7], Crosswalk.MINI)
+    assert sorted(x["id"] for x in rs) == [5, 6, 7]
