@@ -483,6 +483,66 @@ def build_registry():
            FROM customer GROUP BY 1""",
     )
 
+    # ---- nested-doc construction (B11 analog: the dc-jsonb assembly of
+    # mv_books_dc.sql:196-430 as grouped struct-array aggregation; output
+    # serialized canonically — sorted "key:value" packs — so the value
+    # hash is engine-neutral) ----
+    def etl_nested_docs(spark, sf_dir):
+        c = _read(spark, sf_dir, "customer")
+        o = _read(spark, sf_dir, "orders")
+        packed = F.concat_ws(
+            ":",
+            F.col("o_orderkey").cast("string"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        )
+        return (
+            c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+            .groupBy("c_custkey")
+            .agg(
+                F.concat_ws(";", F.array_sort(F.collect_list(packed))).alias(
+                    "orders_doc"
+                ),
+                F.count("o_orderkey").alias("n_orders"),
+            )
+        )
+
+    reg(
+        "etl_nested_doc_build",
+        etl_nested_docs,
+        """SELECT c_custkey,
+                  coalesce(string_agg(o_orderkey::VARCHAR || ':' ||
+                           round(o_totalprice * 100)::BIGINT::VARCHAR, ';'
+                           ORDER BY o_orderkey::VARCHAR || ':' ||
+                           round(o_totalprice * 100)::BIGINT::VARCHAR), '') AS orders_doc,
+                  count(o_orderkey)::BIGINT AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey""",
+    )
+
+    # ---- ANALYZE analog (B18): one-pass table statistics ----
+    def etl_analyze(spark, sf_dir):
+        d = _documents(spark, sf_dir)
+        return d.agg(
+            F.count("*").alias("n_rows"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.count_distinct("lang").alias("ndv_lang"),
+            F.count_distinct("source").alias("ndv_source"),
+            F.sum(F.col("lang").isNull().cast("long")).alias("null_lang"),
+        )
+
+    reg(
+        "etl_analyze_stats",
+        etl_analyze,
+        """SELECT count(*)::BIGINT AS n_rows,
+                  min(n_chars)::BIGINT AS min_chars,
+                  max(n_chars)::BIGINT AS max_chars,
+                  count(DISTINCT lang)::BIGINT AS ndv_lang,
+                  count(DISTINCT source)::BIGINT AS ndv_source,
+                  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_lang
+           FROM documents""",
+    )
+
     # ---- classic pipelines (engine plumbing anchors) ----
     def tpch_q1(spark, sf_dir):
         l = _read(spark, sf_dir, "lineitem")

@@ -1,0 +1,151 @@
+"""Build-plane ETL operators — the MV-construction analogs.
+
+The reference materializes one denormalized wide row per book from a
+normalized star (tables/mv_books_dc.sql:32-133 scalar columns,
+:196-430 the nested `dc` jsonb built from correlated subqueries + json
+aggregation). These operators re-express that construction as grouped
+struct-array aggregations (B2 string agg, B4 array agg, B11 nested-doc
+construction) plus the ANALYZE analog (B18) and sorted-table writes
+(B13) — each one shuffle per bridge table, dimension sides broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_gutenberg_full_text_search_spark.sources.tables import write_json
+
+
+def _agg_bridge(
+    bridge: DataFrame,
+    dim: DataFrame,
+    name_col: str,
+    out_arr: str,
+    out_str: str | None = None,
+) -> DataFrame:
+    """bridge(fk_docs, fk_*) × dim(pk, name) → per-doc sorted struct array
+    (+ optional ' | '-joined flat string, id-ordered like the MV's
+    correlated string_agg, mv_books_dc.sql:43-47)."""
+    fk = [c for c in bridge.columns if c != "fk_docs"][0]
+    joined = bridge.join(F.broadcast(dim), bridge[fk] == dim["pk"])
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pk").alias("id"), F.col(name_col)))
+        ).alias(out_arr)
+    ]
+    out = joined.groupBy("fk_docs").agg(*aggs)
+    if out_str:
+        out = out.withColumn(
+            out_str,
+            F.concat_ws(
+                " | ", F.transform(F.col(out_arr), lambda s: s[name_col])
+            ),
+        )
+    return out.withColumnRenamed("fk_docs", "doc_id")
+
+
+def denormalize_docs_dc(
+    doc_ids: DataFrame,
+    subjects: DataFrame,
+    bookshelves: DataFrame,
+    mn_docs_subjects: DataFrame,
+    mn_docs_bookshelves: DataFrame,
+) -> DataFrame:
+    """B11: assemble the nested document (dc struct) + flattened search
+    strings from the normalized star — the Spark twin of the MV's
+    json-aggregation subqueries (mv_books_dc.sql:196-430). Missing
+    bridges become empty arrays/strings, as COALESCE does in the MV.
+
+    Returns (doc_id, all_subjects, dc: struct<subjects, bookshelves>).
+    """
+    subj = _agg_bridge(
+        mn_docs_subjects, subjects, "subject", "subjects_arr", "all_subjects"
+    )
+    shelf = _agg_bridge(
+        mn_docs_bookshelves, bookshelves, "bookshelf", "bookshelves_arr"
+    )
+    empty_subj = F.array().cast("array<struct<id:bigint,subject:string>>")
+    empty_shelf = F.array().cast("array<struct<id:bigint,bookshelf:string>>")
+    return (
+        doc_ids.select("doc_id")
+        .join(subj, "doc_id", "left")
+        .join(shelf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("all_subjects", F.lit("")).alias("all_subjects"),
+            F.struct(
+                F.coalesce("subjects_arr", empty_subj).alias("subjects"),
+                F.coalesce("bookshelves_arr", empty_shelf).alias("bookshelves"),
+            ).alias("dc"),
+        )
+    )
+
+
+def analyze_table(
+    df: DataFrame, cols: list[str] | None = None, rsd: float = 0.05
+) -> dict:
+    """B18: the ANALYZE analog — per-column min/max/null-count/approx-NDV
+    in ONE aggregation pass (HyperLogLog++ via approx_count_distinct,
+    so a 100 TB table costs one scan, no exact-distinct shuffle).
+
+    Returns {"n_rows": N, "columns": {col: {min, max, nulls, ndv}}}.
+    """
+    cols = cols or [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("long", "integer", "double", "float", "string", "date", "timestamp")
+    ]
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c, rsd).alias(f"{c}__ndv"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = {"n_rows": row["__n"], "columns": {}}
+    for c in cols:
+        mn, mx = row[f"{c}__min"], row[f"{c}__max"]
+        out["columns"][c] = {
+            "min": mn.isoformat() if hasattr(mn, "isoformat") else mn,
+            "max": mx.isoformat() if hasattr(mx, "isoformat") else mx,
+            "nulls": row[f"{c}__nulls"],
+            "ndv": row[f"{c}__ndv"],
+        }
+    return out
+
+
+def write_sorted_table(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partitions: int | None = None,
+    stats_path: str | None = None,
+) -> None:
+    """B13: the B-tree-index analog for columnar storage — range-partition
+    then sort within partitions on the key columns before writing, so
+    parquet row-group min/max statistics on those columns become a sorted
+    sparse index: a point/range predicate prunes to O(1) row groups
+    exactly like a B-tree descent (the reference's 8 B-tree indexes,
+    mv_books_dc.sql:439-459, serve the same predicates). Optionally emits
+    ANALYZE stats alongside.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    if stats_path:
+        back = df.sparkSession.read.parquet(path)
+        write_json(stats_path, analyze_table(back, cols=sort_cols))
+
+
+def read_sorted_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path))
