@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import math
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -76,6 +76,11 @@ class IndexHandle:
     spark: SparkSession
     index_dir: str
     stats: dict
+    # per-handle df cache: a pruned top-k otherwise re-collects the same
+    # ≤|query| df rows in three separate jobs (topk gate, prune metadata,
+    # each blockagg). Consistent by construction: a handle is a snapshot
+    # of one index state — after an incremental refresh callers re-open.
+    _df_cache: dict = field(default_factory=dict)
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
@@ -97,16 +102,20 @@ class IndexHandle:
         return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """df per term — tiny collect (≤ query width rows), parquet-pruned."""
-        if not terms:
-            return {}
-        rows = (
-            self.terms()
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        return {r["term"]: r["df"] for r in rows}
+        """df per term — tiny collect (≤ query width rows), parquet-pruned;
+        memoized per handle (absent terms cached as 0, never re-queried)."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.terms()
+                .filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms if self._df_cache[t]}
 
     def blocks_for(self, terms: list[str]) -> DataFrame:
         """Partition-pruned scan of the query terms' posting blocks."""
