@@ -346,7 +346,9 @@ class FullTextSearch:
         if handle is not None and text_col == "content":
             cands = contains_candidates(handle, txt)
             if cands is not None:
-                base = base.join(cands.hint("broadcast"), "doc_id", "left_semi")
+                # no broadcast hint — candidate size is unbounded for broad
+                # queries; AQE picks broadcast from runtime stats when small
+                base = base.join(cands, "doc_id", "left_semi")
         base = base.filter(verify)
         # reference ranks a CONTAINS search too: ts_rank_cd with the
         # %-stripped param (full_text_search.py:275-282). Our analog: BM25

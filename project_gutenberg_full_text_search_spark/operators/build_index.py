@@ -439,18 +439,29 @@ def build_index(
             )
         blocks = blocks.withColumn("tbucket", tbucket_col())
         out_path = os.path.join(index_dir, "postings", f"shard={shard}")
+        # per-shard metrics ride the write job itself (Observation) — no
+        # second full scan of the freshly written shard
+        from pyspark.sql import Observation
+
+        obs = Observation(f"postings_shard_{shard}")
         (
             blocks.sortWithinPartitions("tbucket", "term", "block_key")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("n_docs").alias("postings"),
+                F.sum(
+                    F.length("doc_ids_bin")
+                    + F.length("tfs_bin")
+                    + F.length("dls_bin")
+                    + F.length("pos_bin")
+                ).alias("bytes"),
+            )
             .write.mode("overwrite")
             .partitionBy("tbucket")
             .parquet(out_path)
         )
-        written = spark.read.parquet(out_path)
-        agg = written.agg(
-            F.count("*").alias("blocks"),
-            F.sum("n_docs").alias("postings"),
-            F.sum(F.length("doc_ids_bin") + F.length("tfs_bin") + F.length("dls_bin") + F.length("pos_bin")).alias("bytes"),
-        ).collect()[0]
+        agg = obs.get
         # single-shard builds already know the doc count from the norms
         # aggregation — don't pay another full scan for a metric
         n_docs_shard = stats["N"] if n_shards == 1 else shard_docs.count()
@@ -481,13 +492,19 @@ def build_index(
         )
 
     # ---- terms table (global df/cf; cheap agg over postings) ----
+    from pyspark.sql import Observation
+
     postings = spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
         os.path.join(index_dir, "postings")
     )
     terms = postings.groupBy("term").agg(
         F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
     )
-    terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+    t_obs = Observation("n_terms")
+    terms.observe(t_obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "terms"))
+    n_terms = t_obs.get["n"]
 
     # ---- trigram → term table (GiST/GIN trgm analog, mv_books_dc.sql:472-487)
     # vocabulary-sized (small): term, its padded trigrams, n_trigrams.
@@ -503,7 +520,7 @@ def build_index(
     )
     tri.write.mode("overwrite").parquet(os.path.join(index_dir, "trigram_terms"))
     stats["build_seconds"] = round(time.time() - t0, 3)
-    stats["n_terms"] = spark.read.parquet(os.path.join(index_dir, "terms")).count()
+    stats["n_terms"] = n_terms
     write_json(stats_path, stats)
     write_json(
         os.path.join(index_dir, "_metrics", "summary.json"),

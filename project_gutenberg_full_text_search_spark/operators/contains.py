@@ -101,7 +101,11 @@ def contains_search(
     cands = contains_candidates(handle, q)
     if cands is None:
         return docs.filter(verify)
-    return docs.join(cands.hint("broadcast"), id_col, "left_semi").filter(verify)
+    # no broadcast hint: the candidate set is usually tiny (AQE converts
+    # the semi-join to broadcast at runtime from its REAL size) but is
+    # unbounded for a broad query — a forced broadcast is a driver OOM at
+    # corpus scale.
+    return docs.join(cands, id_col, "left_semi").filter(verify)
 
 
 def contains_naive(docs: DataFrame, q: str, text_col: str = "content") -> DataFrame:

@@ -70,12 +70,17 @@ def refresh_derived(spark: SparkSession, index_dir: str) -> dict:
         "k1": BM25_K1,
         "b": BM25_B,
     }
+    from pyspark.sql import Observation
+
     base = os.path.join(index_dir, "postings")
     postings = spark.read.option("basePath", base).parquet(base)
     terms = postings.groupBy("term").agg(
         F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
     )
-    terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+    t_obs = Observation("n_terms_refresh")
+    terms.observe(t_obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "terms"))
     terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
     tri = (
         terms_df.select("term", "df", trigrams_col("term").alias("trigrams"))
@@ -83,7 +88,7 @@ def refresh_derived(spark: SparkSession, index_dir: str) -> dict:
         .select("term", "df", "n_trigrams", F.explode("trigrams").alias("trigram"))
     )
     tri.write.mode("overwrite").parquet(os.path.join(index_dir, "trigram_terms"))
-    stats["n_terms"] = terms_df.count()
+    stats["n_terms"] = t_obs.get["n"]
     write_json(os.path.join(index_dir, "stats.json"), stats)
     return stats
 
