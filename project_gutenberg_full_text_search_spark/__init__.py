@@ -17,6 +17,7 @@ operators/   index build, BM25 scoring, fuzzy, contains, dedup, ANN, facets
 plans/       websearch query parser + SearchQuery DSL + planner
 sources/     table IO (parquet now, Iceberg-shaped), checkpoint manifests
 streaming/   incremental index refresh (Structured Streaming)
+opds/        OPDS 2.0 feed layer (search/browse/facets) + stdlib server
 """
 
 __version__ = "0.1.0"
