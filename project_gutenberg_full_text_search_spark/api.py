@@ -257,8 +257,14 @@ class SearchQuery:
                 )
         rendered = sql
         for k in sorted(params, key=len, reverse=True):  # :nn before :n
+            # callable replacement: the literal is inserted VERBATIM.  A
+            # plain-string repl is a re.sub template, where a trailing
+            # backslash in the escaped literal ('\\' → '\') would swallow
+            # the closing quote and let the next bound value land as raw
+            # SQL — i.e. injection through the "safe" binding.
+            lit = _sql_literal(params[k])
             rendered = re.sub(
-                f":{re.escape(k)}\\b", _sql_literal(params[k]), rendered
+                f":{re.escape(k)}\\b", lambda _m, _lit=lit: _lit, rendered
             )
         self._filter.append(F.expr(rendered))
         return self
@@ -416,7 +422,18 @@ class FullTextSearch:
         LIMIT/OFFSET, full_text_search.py:300,306-312)."""
         from pyspark.sql.window import Window
 
-        order = self._order_exprs(q, rank_col)
+        drop_cols: list[str] = []
+        if q._order == OrderBy.RANDOM:
+            # F.rand is non-deterministic per evaluation: re-evaluating it
+            # in the window after the limit's exchange reshuffles values,
+            # so page 2 could repeat/omit page-1 docs.  Materialize the
+            # random key ONCE and sort by the column in both places.
+            r = F.rand(q._random_seed) if q._random_seed is not None else F.rand()
+            df = df.withColumn("_pg_rnd", r)
+            order = [F.asc("_pg_rnd"), F.asc("doc_id")]
+            drop_cols.append("_pg_rnd")
+        else:
+            order = self._order_exprs(q, rank_col)
         top = df.orderBy(*order).limit(page * q._page_size)
         if page > 1:
             top = (
@@ -424,7 +441,7 @@ class FullTextSearch:
                 .filter(F.col("_pg_rn") > (page - 1) * q._page_size)
                 .drop("_pg_rn")
             )
-        return top
+        return top.drop(*drop_cols) if drop_cols else top
 
     def execute(self, q: SearchQuery) -> dict:
         """Two-query execute + envelope (reference :366-383)."""

@@ -362,6 +362,32 @@ def test_where_reserved_param_raises(fts):
         fts.query().where("downloads > :__p0", __p0=1)
 
 
+def test_where_backslash_param_binds_verbatim(fts):
+    """A string value containing backslashes must bind as a literal, not a
+    re.sub template: the template path collapsed '\\\\' to '\\', leaving a
+    trailing-backslash literal that swallowed the closing quote and let the
+    NEXT bound value land as raw SQL (injection through the 'safe' binding).
+    Here the injection payload must match zero rows, not widen the query."""
+    n = fts.count(
+        fts.query().where("title = :a AND title = :b", a="\\", b=" OR 1=1 --")
+    )
+    assert n == 0
+    # and a benign backslash value still round-trips
+    assert fts.count(fts.query().where("title = :t", t="back\\slash")) == 0
+
+
+def test_random_order_deep_page_consistent(fts):
+    """Pages 1 and 2 of a seeded RANDOM ordering must partition the
+    top-2·size set — rand must be materialized once, not re-evaluated with
+    a different partition layout inside the pagination window."""
+    q1 = fts.query(Crosswalk.MINI).order_by(OrderBy.RANDOM, seed=7)[1, 10]
+    q2 = fts.query(Crosswalk.MINI).order_by(OrderBy.RANDOM, seed=7)[2, 10]
+    top20 = ids(fts.execute(fts.query(Crosswalk.MINI).order_by(OrderBy.RANDOM, seed=7)[1, 20]))
+    p1, p2 = ids(fts.execute(q1)), ids(fts.execute(q2))
+    assert len(set(p1) & set(p2)) == 0
+    assert p1 + p2 == top20
+
+
 def test_lang_accepts_enum(fts, meta_pdf):
     from project_gutenberg_full_text_search_spark.constants import Language
 

@@ -196,7 +196,7 @@ def test_embedding_neardup_pairs(spark, embeddings):
         (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
     )
     both = embeddings.unionByName(dup)
-    pairs = similarity.embedding_neardup_pairs(both, threshold=0.999).toPandas()
+    pairs = similarity.embedding_neardup_pairs(both, threshold=0.999, dim=64).toPandas()
     found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
     assert {(i, i + 1000) for i in range(5)} <= found
 
@@ -298,4 +298,87 @@ def test_ann_lsh_recall_at_10(spark):
     exact = similarity.cosine_topk(emb, q.tolist(), k=10).toPandas()
     approx = similarity.ann_lsh_topk(emb, q.tolist(), k=10).toPandas()
     recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.9, recall
+
+
+def _clustered_emb(spark, dim, n=400, planted=10, seed=7):
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    q = base[0]
+    near = q[None, :] + 0.1 * rng.standard_normal((planted, dim)).astype(np.float32)
+    M = np.vstack([base, near])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(M)), "embedding": [row.tolist() for row in M]}
+    )
+    return spark.createDataFrame(pdf), q
+
+
+def test_hyperplane_bucket_highdim_uses_mapinpandas(spark):
+    """At production dims (1536) the bucket computation must be ONE numpy
+    matmul in mapInPandas, not a 24k-node Catalyst expression that falls
+    out of whole-stage codegen into interpreted per-row eval."""
+    emb, q = _clustered_emb(spark, dim=1536, n=300)
+    planes = similarity.hyperplane_matrix(1536, nbits=16, seed=42)
+    bucketed = similarity.with_hyperplane_bucket(emb, "embedding", planes)
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:500]
+    # and the engine routes ann_lsh_topk through it at this dim
+    approx_plan = (
+        similarity.ann_lsh_topk(emb, q.tolist(), k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in approx_plan
+    exact = similarity.cosine_topk(emb, q.tolist(), k=10).toPandas()
+    approx = similarity.ann_lsh_topk(emb, q.tolist(), k=10).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.9, recall
+
+
+def test_hyperplane_bucket_pandas_matches_expr_lowdim(spark, embeddings):
+    """On a comfortable margin away from zero the matmul path and the
+    chained-sum expression path agree (dot-order only matters within float
+    rounding of zero)."""
+    planes = similarity.hyperplane_matrix(64, nbits=8, seed=42)
+    via_expr = dict(
+        similarity.with_hyperplane_bucket(
+            embeddings, "embedding", planes, method="expr"
+        ).select("vec_id", "_bucket").collect()
+    )
+    via_pd = dict(
+        similarity.with_hyperplane_bucket(
+            embeddings, "embedding", planes, method="pandas"
+        ).select("vec_id", "_bucket").collect()
+    )
+    agree = sum(via_expr[k] == via_pd[k] for k in via_expr)
+    assert agree >= 0.99 * len(via_expr)
+
+
+def test_persisted_ann_index_partition_pruned(spark, tmp_path):
+    """write_ann_index → ann_index_topk must scan ONLY the multi-probe
+    bucket partitions (checked via input_file_name of the probed scan)."""
+    emb, q = _clustered_emb(spark, dim=32, n=500)
+    path = str(tmp_path / "ann_idx")
+    meta = similarity.write_ann_index(emb, path, dim=32, nbits=8, seed=42)
+    assert meta["nbits"] == 8
+    planes = similarity.hyperplane_matrix(32, 8, 42)
+    qb = similarity.hyperplane_bucket_py(q.tolist(), planes)
+    probes = set(similarity.probe_buckets(qb, 8, similarity.DEFAULT_PROBE_HAMMING))
+
+    df, m = similarity.read_ann_index(spark, path)
+    probed = df.filter(F.col("bucket").isin(list(probes)))
+    files = [
+        r[0] for r in probed.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files, "probe read no files"
+    for fpath in files:
+        mm = re.search(r"bucket=(\d+)", fpath)
+        assert mm and int(mm.group(1)) in probes, fpath
+    # and the end-to-end probe returns the planted neighborhood
+    topk = similarity.ann_index_topk(spark, path, q.tolist(), k=10).toPandas()
+    exact = similarity.cosine_topk(emb, q.tolist(), k=10).toPandas()
+    recall = len(set(exact.vec_id) & set(topk.vec_id)) / 10
     assert recall >= 0.9, recall
