@@ -89,12 +89,14 @@ def _scaling_worker(cpus: int, n_docs: int, length_scale: float = 8.0) -> None:
         input_fingerprint="warm",
     )
     shutil.rmtree(wu, ignore_errors=True)
-    # three timed steady-state builds; report the best (min-wall is the
-    # standard noise-robust estimator — this sandbox VM shows ±5-10%
-    # run-to-run wall noise, enough to swing a 4-way ratio by 0.1, and
-    # the high-parallelism JVM keeps JIT-warming into the second build)
+    # PGFTS_SCALING_SAMPLES (default 2) timed steady-state builds; report
+    # the best (min-wall is the standard noise-robust estimator — this
+    # sandbox VM shows ±5-10% run-to-run wall noise, enough to swing a
+    # 4-way ratio by 0.1, and the high-parallelism JVM keeps JIT-warming
+    # into the second build). BASELINE.md documents the same count.
+    n_samples = int(os.environ.get("PGFTS_SCALING_SAMPLES", "2"))
     samples = []
-    for r in range(2):
+    for r in range(n_samples):
         d = tempfile.mkdtemp(prefix=f"pgfts_scal_{cpus}_", dir=scratch)
         t0 = time.time()
         build_index(spark, docs, d, resume=False, input_fingerprint=f"scal{cpus}_{r}")
@@ -217,7 +219,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "50000"))
         levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
-        n_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+        n_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+        max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "5"))
         lo, hi = int(levels[0]), int(levels[1])
 
         def _run_worker(c):
@@ -236,9 +239,20 @@ def main() -> None:
         # round, and the BEST round is the headline — every noise source
         # on a shared box only ever DEGRADES a measured efficiency, never
         # inflates it, so the cleanest round is the closest to truth.
+        # ADAPTIVE round count: n_rounds paired rounds minimum, extended
+        # (up to max_rounds) until the best two rounds agree within 3% —
+        # two rounds cannot absorb the documented cross-launch drift, so
+        # the best-round estimate needs a corroborating near-best round.
         rounds = []
         runs = {}
-        for _ in range(n_rounds):
+
+        def _round_converged() -> bool:
+            if len(rounds) < 2:
+                return False
+            effs = sorted((r["efficiency"] for r in rounds), reverse=True)
+            return effs[0] - effs[1] <= 0.03 * effs[0]
+
+        while len(rounds) < max_rounds:
             r_lo, r_hi = _run_worker(lo), _run_worker(hi)
             if r_lo and r_hi:
                 rounds.append(
@@ -251,6 +265,8 @@ def main() -> None:
                     }
                 )
                 runs = {lo: r_lo, hi: r_hi}
+            if len(rounds) >= n_rounds and _round_converged():
+                break
         if rounds:
             best = max(rounds, key=lambda r: r["efficiency"])
             thr_lo, thr_hi = best["lo_docs_per_sec"], best["hi_docs_per_sec"]
@@ -262,14 +278,16 @@ def main() -> None:
                 "efficiency": best["efficiency"],
                 "rounds": rounds,
                 "note": (
-                    "N->4N-executor criterion measured as two CPU-PINNED "
+                    "N->4N-executor criterion measured as CPU-PINNED "
                     "(sched_setaffinity) steady-state (post-JIT-warmup) "
                     "builds of the identical ~10KB-doc corpus at N and 4N "
-                    "cores; pinning + warm-up + 4MB scan splits remove the "
-                    "single-box artifacts (slot-vs-core overcommit, JIT "
-                    "share, scan-wave quantization) that otherwise dominate "
-                    "- protocol details in bench._scaling_worker docstring "
-                    "and BASELINE.md."
+                    "cores, in temporally paired rounds (>=3, extended "
+                    "until the best two agree within 3%), best round "
+                    "reported; pinning + warm-up + 4MB scan splits remove "
+                    "the single-box artifacts (slot-vs-core overcommit, "
+                    "JIT share, scan-wave quantization) that otherwise "
+                    "dominate - protocol details in bench._scaling_worker "
+                    "docstring and BASELINE.md."
                 ),
             }
 

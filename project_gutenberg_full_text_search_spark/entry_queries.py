@@ -50,6 +50,12 @@ from project_gutenberg_full_text_search_spark.plans.parser import parse_websearc
 # ---------------------------------------------------------------------------
 
 _IDX_LOCK = threading.Lock()
+# handle cache: IndexHandle memoizes per-term df and the trigram→df map, so
+# reusing ONE handle per index dir makes those warm lookups pure driver
+# arithmetic across queries (a fresh handle per query would re-pay them).
+# Safe because the resume-backed build is idempotent for a given sf_dir —
+# the handle stays a snapshot of one immutable index state.
+_IDX_HANDLES: dict[str, IndexHandle] = {}
 
 
 def _index_for(spark: SparkSession, sf_dir: str) -> IndexHandle:
@@ -58,6 +64,9 @@ def _index_for(spark: SparkSession, sf_dir: str) -> IndexHandle:
         os.environ.get("PGFTS_INDEX_CACHE", "/tmp/pgfts_index_cache"), tag
     )
     with _IDX_LOCK:
+        cached = _IDX_HANDLES.get(idx_dir)
+        if cached is not None and cached.spark is spark:
+            return cached
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         build_index(
             spark,
@@ -67,7 +76,9 @@ def _index_for(spark: SparkSession, sf_dir: str) -> IndexHandle:
             resume=True,
             input_fingerprint=sf_dir,
         )
-        return IndexHandle.open(spark, idx_dir)
+        handle = IndexHandle.open(spark, idx_dir)
+        _IDX_HANDLES[idx_dir] = handle
+        return handle
 
 
 def _documents(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:

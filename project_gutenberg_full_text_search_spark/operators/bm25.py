@@ -81,6 +81,7 @@ class IndexHandle:
     # each blockagg). Consistent by construction: a handle is a snapshot
     # of one index state — after an incremental refresh callers re-open.
     _df_cache: dict = field(default_factory=dict)
+    _trigram_df: dict | None = None
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
@@ -116,6 +117,27 @@ class IndexHandle:
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms if self._df_cache[t]}
+
+    def trigram_df(self) -> dict[str, int]:
+        """trigram → number of vocabulary terms containing it, memoized.
+
+        The trigram alphabet is [a-z0-9_ ] so the map is bounded at ~50k
+        entries (≤ 38³) REGARDLESS of corpus size — a few MB of driver
+        memory at 100 TB just like at sf0.001.  Loading it once per handle
+        turns every CONTAINS prefilter gate into pure driver arithmetic
+        instead of a blocking per-query Spark job over the vocabulary
+        metadata (the round-2 contains_cross_token regression)."""
+        if self._trigram_df is None:
+            rows = (
+                self.spark.read.parquet(
+                    os.path.join(self.index_dir, "trigram_terms")
+                )
+                .groupBy("trigram")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            self._trigram_df = {r["trigram"]: r["n"] for r in rows}
+        return self._trigram_df
 
     def blocks_for(self, terms: list[str]) -> DataFrame:
         """Partition-pruned scan of the query terms' posting blocks."""

@@ -370,6 +370,22 @@ def build_index(
         or stats.get("fingerprint") != fingerprint
         or stats.get("format") != FORMAT_VERSION
     ):
+        # a rebuild over a stale/foreign layout must clear the old roots
+        # first: overwrite only replaces norms/shard=base, so format-v1
+        # norms parquet living flat under norms/ would make partition
+        # discovery fail ("conflicting directory structures"), and stale
+        # incremental shards (norms/shard=inc_*, postings/shard=inc_*)
+        # from the previous fingerprint would double-count into stats and
+        # the terms aggregation. Only reached on fingerprint/format
+        # mismatch — a resumed same-fingerprint build skips this branch,
+        # so shard-level resume manifests stay effective.
+        import shutil
+
+        if os.path.isdir(norms_root):
+            shutil.rmtree(norms_root, ignore_errors=True)
+        postings_root = os.path.join(index_dir, "postings")
+        if os.path.isdir(postings_root):
+            shutil.rmtree(postings_root, ignore_errors=True)
         norms = build_norms(docs, text_col)
         norms.write.mode("overwrite").parquet(norms_path)
         norms = read_norms(spark, index_dir)

@@ -55,25 +55,28 @@ def contains_candidates(handle: IndexHandle, q: str) -> DataFrame | None:
     broadcast-joined to the posting blocks (``IndexHandle.decode_for``) —
     never collected, never inlined as plan literals: at source-code
     vocabulary sizes the literal formulation is a driver OOM and a
-    multi-MB Catalyst plan. Only two scalar stats (candidate-term count,
-    covered-trigram count) come back to the driver, both from a
-    vocabulary-sized metadata aggregation.
+    multi-MB Catalyst plan.
+
+    The cap/coverage gate is pure driver arithmetic over the handle's
+    memoized trigram→df map (``IndexHandle.trigram_df`` — bounded ≤ ~50k
+    entries by the trigram alphabet at any corpus size), so a CONTAINS
+    query costs ONE candidate job, not a blocking vocabulary-stats job
+    followed by the real one.  The cap bound Σ_g df(g) is an upper bound
+    on the exact distinct-candidate-term count the old gate computed —
+    strictly more conservative, never less sound.
     """
     gset = sorted(_query_trigrams(q))
     if not gset:
         return None
     spark = handle.spark
-    tri = spark.read.parquet(f"{handle.index_dir}/trigram_terms")
-    matched = tri.filter(F.col("trigram").isin(gset))
-    stats = matched.agg(
-        F.count_distinct("term").alias("n_terms"),
-        F.count_distinct("trigram").alias("n_covered"),
-    ).collect()[0]
-    if stats["n_terms"] > MAX_PREFILTER_TERMS:
-        return None
-    if stats["n_covered"] < len(gset):
+    dfmap = handle.trigram_df()
+    if any(g not in dfmap for g in gset):
         # some query trigram occurs in no vocabulary term → no doc can match
         return spark.createDataFrame([], "doc_id bigint")
+    if sum(dfmap[g] for g in gset) > MAX_PREFILTER_TERMS:
+        return None
+    tri = spark.read.parquet(f"{handle.index_dir}/trigram_terms")
+    matched = tri.filter(F.col("trigram").isin(gset))
     # term → its matched query trigrams; a doc qualifies iff for EVERY
     # query trigram it contains at least one term carrying that trigram.
     cand = matched.groupBy("term").agg(

@@ -105,6 +105,36 @@ def test_resume_skips_completed_shards(spark, small_corpus):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_rebuild_clears_stale_layouts(spark, small_corpus):
+    """A fingerprint-mismatch rebuild must clear stale norms/postings
+    layouts: flat pre-shard norms parquet (format v1) breaks partition
+    discovery, and leftover incremental shards from the old fingerprint
+    would double-count into stats/terms."""
+    from project_gutenberg_full_text_search_spark.operators.build_index import read_norms
+
+    d = tempfile.mkdtemp(prefix="pgfts_stale_")
+    try:
+        build_index(spark, small_corpus, d, input_fingerprint="fpA")
+        # simulate a v1 flat-layout leftover + a stale incremental shard
+        small_corpus.limit(3).select("doc_id").write.mode("overwrite").parquet(
+            os.path.join(d, "norms_flat_tmp")
+        )
+        for f in os.listdir(os.path.join(d, "norms_flat_tmp")):
+            shutil.copy(
+                os.path.join(d, "norms_flat_tmp", f),
+                os.path.join(d, "norms", f),
+            )
+        os.makedirs(os.path.join(d, "postings", "shard=inc_99", "tbucket=0"))
+        build_index(spark, small_corpus, d, input_fingerprint="fpB")
+        n = read_norms(spark, d).count()
+        assert n == small_corpus.count()
+        assert not os.path.exists(os.path.join(d, "postings", "shard=inc_99"))
+        stats = json.load(open(os.path.join(d, "stats.json")))
+        assert stats["N"] == small_corpus.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_metrics_written(index_dir):
     m = json.load(open(os.path.join(index_dir, "_metrics", "summary.json")))
     assert m["n_docs"] == 300
