@@ -270,6 +270,47 @@ class SearchQuery:
         return self
 
 
+def build_field_indexes(
+    spark: SparkSession,
+    mv: DataFrame,
+    base_dir: str,
+    fields: tuple = (SearchField.TITLE, SearchField.AUTHOR, SearchField.SUBJECT),
+    input_fingerprint: str | None = None,
+    resume: bool = True,
+) -> dict[SearchField, str]:
+    """Build one per-field index (postings + trigram vocabulary) per
+    metadata text field — the twin of the reference's per-column GIN/GiST
+    trigram family (mv_books_dc.sql:472-487), which accelerates
+    FUZZY/CONTAINS on title/author/subject, not just content.
+
+    Each field index is a normal ``build_index`` artifact over
+    ``(doc_id, <field text>)`` only — metadata text is a tiny fraction of
+    content bytes, so these indexes are cheap at any corpus scale.
+    Returns {field: index_dir} ready to merge into ``FullTextSearch``'s
+    ``indexes=`` mapping.
+    """
+    import os
+
+    from project_gutenberg_full_text_search_spark.operators.build_index import (
+        build_index,
+    )
+
+    out: dict[SearchField, str] = {}
+    for fld in fields:
+        col = _FIELD_TEXT[fld]
+        d = os.path.join(base_dir, fld.name.lower())
+        build_index(
+            spark,
+            mv.select("doc_id", F.coalesce(F.col(col), F.lit("")).alias(col)),
+            d,
+            text_col=col,
+            resume=resume,
+            input_fingerprint=input_fingerprint or f"field:{col}",
+        )
+        out[fld] = d
+    return out
+
+
 class FullTextSearch:
     """The engine facade (reference class at full_text_search.py:332-498)."""
 
@@ -327,7 +368,12 @@ class FullTextSearch:
             )
             return base.join(cands, "doc_id", "inner"), "_rank"
         if st == SearchType.FUZZY:
-            if handle is not None and text_col == "content":
+            if handle is not None:
+                # index-accelerated path — for CONTENT and for any metadata
+                # field with a per-field index (build_field_indexes; the
+                # reference's per-column GiST trgm family,
+                # mv_books_dc.sql:482-487): candidate terms come from the
+                # field's trigram vocabulary, postings prune the docs scan.
                 sims = fuzzy_candidates(handle, txt).withColumnRenamed("sim", "_rank")
                 return base.join(sims, "doc_id", "inner"), "_rank"
             # non-indexed field: naive trigram similarity, JVM-side
@@ -349,7 +395,10 @@ class FullTextSearch:
             return base.filter(F.col("_rank") >= DEFAULT_SIM_THRESHOLD), "_rank"
         # CONTAINS
         verify = F.contains(F.lower(F.col(text_col)), F.lit(txt.lower()))
-        if handle is not None and text_col == "content":
+        if handle is not None:
+            # trigram prefilter from the field's own index (GIN trgm
+            # analog, mv_books_dc.sql:472-477) — metadata fields included
+            # when a per-field index is registered
             cands = contains_candidates(handle, txt)
             if cands is not None:
                 # no broadcast hint — candidate size is unbounded for broad

@@ -237,6 +237,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.2,
     shingle_n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT shingle-Jaccard near-dup pairs without a cartesian product.
 
@@ -244,31 +245,76 @@ def ngram_jaccard_pairs(
     an inverted (shingle → doc) self-join; the per-pair match count from
     that join IS |A∩B| (shingle sets are distinct), and
     |A∪B| = |A| + |B| − |A∩B|. Non-overlapping pairs are never
-    enumerated — the work is Σ_g df(g)², not N². Hot shingles are the
-    skew axis; AQE skew-join splits them (at 100 TB also pre-drop
-    stop-shingles above a df cap — that keeps exactness for any pair
-    whose union contains at least one sub-cap shingle).
+    enumerated — the work is Σ_g df(g)², not N².
+
+    ``max_shingle_df`` is the stop-shingle cap for the skew axis: at
+    100 TB the Σ df(g)² term of boilerplate shingles (license headers,
+    "all rights reserved") IS the cost center, and AQE skew-splitting
+    only spreads that quadratic work, it does not shrink it. With the
+    cap set, shingles whose doc-frequency exceeds it are excluded from
+    CANDIDATE GENERATION only, and every surviving candidate pair is
+    verified with the exact Jaccard over the pair's FULL shingle sets —
+    so the cap bounds candidate volume at Σ_{df(g)≤cap} df(g)² while
+    reported scores stay exact. Exactness condition: a pair is found iff
+    it shares at least one sub-cap shingle; a pair whose entire
+    intersection is stop-shingles is (by design) not reported — at the
+    cap values that matter (df ≫ typical corpus dup-cluster size) such a
+    pair shares only boilerplate, which is exactly the noise the cap
+    exists to ignore.
     """
     sh = df.select(F.col(id_col), shingles_expr(text_col, shingle_n).alias("sh"))
-    sized = sh.select(
-        F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
+    if max_shingle_df is None:
+        sized = sh.select(
+            F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
+        )
+        a = sized.select(
+            F.col("g"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")
+        )
+        b = sized.select(
+            F.col("g"), F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")
+        )
+        shared = (
+            a.join(b, "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.count("*").alias("c"))
+        )
+        return (
+            shared.withColumn(
+                "jaccard",
+                F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # capped path: candidates from sub-cap shingles only, exact verify
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    keep_g = (
+        ex.groupBy("g")
+        .agg(F.count("*").alias("df_g"))
+        .filter(F.col("df_g") <= int(max_shingle_df))
+        .select("g")
     )
-    a = sized.select(
-        F.col("g"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")
-    )
-    b = sized.select(
-        F.col("g"), F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")
-    )
-    shared = (
-        a.join(b, "g")
+    kept = ex.join(keep_g, "g")
+    cands = (
+        kept.select(F.col("g"), F.col(id_col).alias("id_a"))
+        .join(kept.select(F.col("g"), F.col(id_col).alias("id_b")), "g")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("c"))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        shared.withColumn(
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
             "jaccard",
-            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

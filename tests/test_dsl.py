@@ -328,6 +328,75 @@ def test_fts_on_title_field_with_own_index(spark, small_corpus, dims, oracle, in
     assert env["total"] == title_oracle.count("cache")
 
 
+def test_fuzzy_contains_on_title_via_field_index(spark, small_corpus, dims, index_dir):
+    """Per-field trigram indexes (reference mv_books_dc.sql:472-487):
+    FUZZY/CONTAINS on TITLE routed through a TITLE index must be
+    rank-identical to the full-scan fallback, and the indexed plan must be
+    candidate-pruned (a join on doc_id, not a naive per-row trigram
+    transform over the titles column)."""
+    import tempfile
+
+    from project_gutenberg_full_text_search_spark.api import build_field_indexes
+
+    base = tempfile.mkdtemp(prefix="pgfts_fieldidx_")
+    fidx = build_field_indexes(
+        spark,
+        dims["meta"],
+        base,
+        fields=(SearchField.TITLE, SearchField.AUTHOR),
+        input_fingerprint="meta300",
+    )
+    fts_idx = FullTextSearch(
+        spark,
+        small_corpus,
+        meta=dims["meta"],
+        indexes={SearchField.CONTENT: index_dir, **fidx},
+        dims=dims,
+    )
+    fts_plain = FullTextSearch(
+        spark,
+        small_corpus,
+        meta=dims["meta"],
+        indexes={SearchField.CONTENT: index_dir},
+        dims=dims,
+    )
+
+    def ranked(f, txt, fld, st):
+        env = f.execute(
+            f.query(Crosswalk.MINI).search(txt, fld, st).order_by(OrderBy.RELEVANCE)[1, 50]
+        )
+        return [(r.get("id", r.get("doc_id"))) for r in env["results"]], env["total"]
+
+    # FUZZY on TITLE: typo'd title word → same docs, same order
+    got_ids, got_total = ranked(fts_idx, "cachee", SearchField.TITLE, SearchType.FUZZY)
+    exp_ids, exp_total = ranked(fts_plain, "cachee", SearchField.TITLE, SearchType.FUZZY)
+    assert got_total == exp_total and got_total > 0
+    assert got_ids == exp_ids
+    # FUZZY on AUTHOR too
+    g2, t2 = ranked(fts_idx, "authr_1", SearchField.AUTHOR, SearchType.FUZZY)
+    e2, t2e = ranked(fts_plain, "authr_1", SearchField.AUTHOR, SearchType.FUZZY)
+    assert t2 == t2e and g2 == e2
+    # CONTAINS on TITLE: identical result set
+    g3, t3 = ranked(fts_idx, "vol3", SearchField.TITLE, SearchType.CONTAINS)
+    e3, t3e = ranked(fts_plain, "vol3", SearchField.TITLE, SearchType.CONTAINS)
+    assert t3 == t3e and t3 > 0 and g3 == e3
+
+    # plan assertion: the indexed fuzzy path joins BM25/trigram candidates
+    # on doc_id (candidate-pruned) instead of evaluating the naive
+    # array_intersect trigram transform over every title
+    df_idx, _ = fts_idx._candidates(
+        fts_idx.query().search("cachee", SearchField.TITLE, SearchType.FUZZY)
+    )
+    plan_idx = df_idx._jdf.queryExecution().executedPlan().toString()
+    df_plain, _ = fts_plain._candidates(
+        fts_plain.query().search("cachee", SearchField.TITLE, SearchType.FUZZY)
+    )
+    plan_plain = df_plain._jdf.queryExecution().executedPlan().toString()
+    assert "array_intersect" not in plan_idx
+    assert "array_intersect" in plan_plain
+    assert "Join" in plan_idx
+
+
 def test_locc_children(fts):
     top = fts.locc_children().toPandas()
     assert set(top.pk) == {"P", "Q", "T", "B"}

@@ -127,6 +127,53 @@ def test_ngram_jaccard_pairs_exact_no_cartesian(spark, documents, docs_pdf):
     assert got == pytest.approx(exp)
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """With max_shingle_df set, a planted corpus-wide hot shingle is
+    excluded from candidate generation, but every pair sharing ≥1 sub-cap
+    shingle keeps its EXACT (uncapped) jaccard; candidate volume is
+    bounded by the sub-cap inverted join."""
+    import pandas as pd
+
+    # 30 docs: all share the boilerplate "lic lic lic" shingle run; docs
+    # 2i/2i+1 additionally share a pair-unique payload (sub-cap shingles)
+    rows = []
+    for i in range(30):
+        payload = f"pay{i // 2} load{i // 2} only{i // 2} x{i}"
+        rows.append((i, "lic lic lic lic " + payload))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "text", threshold=0.01).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", threshold=0.01, max_shingle_df=5
+        ).collect()
+    }
+    # every capped pair reports the exact uncapped jaccard
+    for pair, j in capped.items():
+        assert uncapped[pair] == j, pair
+    # the payload-sharing pairs all survive (they share sub-cap shingles)
+    for i in range(15):
+        assert (2 * i, 2 * i + 1) in capped
+    # pairs dropped by the cap shared ONLY the hot boilerplate shingles
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", dedup.shingles_expr("text").alias("sh")
+        ).collect()
+    }
+    hot = {g for g in set().union(*sh.values())
+           if sum(g in s for s in sh.values()) > 5}
+    for pair in set(uncapped) - set(capped):
+        assert sh[pair[0]] & sh[pair[1]] <= hot, pair
+    # candidate volume bounded: uncapped enumerates all C(30,2) overlapping
+    # pairs; capped only the payload pairs
+    assert len(uncapped) == 30 * 29 // 2
+    assert len(capped) == 15
+
+
 def test_minhash_dedup_finds_planted_dups(spark, documents):
     # plant near-duplicates: doc + itself with one token changed
     base = documents.limit(20)
