@@ -785,6 +785,41 @@ def build_registry():
             ORDER BY cos DESC, vec_id ASC LIMIT 5""",
     )
 
+    # ---- persisted ANN index probe (partition-pruned multi-probe read;
+    # same math as ann_lsh_top5 but served from a bucket-partitioned
+    # parquet artifact written once per sf_dir — similarity.write_ann_index)
+    def ann_index_probe(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        path = os.path.join(
+            os.environ.get("PGFTS_INDEX_CACHE", "/tmp/pgfts_index_cache"),
+            f"ann_{tag}",
+        )
+        with _IDX_LOCK:
+            if not os.path.exists(os.path.join(path, "_ann_meta.json")):
+                similarity.write_ann_index(
+                    emb, path, dim=64, nbits=16, seed=similarity.DEFAULT_LSH_SEED
+                )
+        return similarity.ann_index_topk(
+            spark, path, _qvec(spark, sf_dir), k=5, probe_hamming=4
+        )
+
+    reg(
+        "ann_index_top5",
+        ann_index_probe,
+        # identical twin to ann_lsh_top5: the persisted bucket column is the
+        # same seeded expression the SQL regenerates
+        f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                         {similarity.hyperplane_bucket_sql('embedding', _planes)} AS bucket
+                  FROM embeddings),
+            qb AS (SELECT {similarity.hyperplane_bucket_sql('q.qv', _planes)} AS bucket FROM q)
+            SELECT b.vec_id AS vec_id, {_cosq} AS cos
+            FROM b, q, qb
+            WHERE bit_count(xor(b.bucket, qb.bucket)) <= 4
+            ORDER BY cos DESC, vec_id ASC LIMIT 5""",
+    )
+
     # ---- text analysis ----
     def tp(spark, sf_dir):
         return textstats.text_profile(_documents(spark, sf_dir, spread=True), "text")
@@ -912,6 +947,37 @@ def build_registry():
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
                         / len(list_distinct(a.shingles || b.shingles))::DOUBLE, 4) >= 0.2""",
+    )
+
+    # ---- stop-shingle-capped exact n-gram Jaccard (the 100 TB skew path:
+    # shingles with df > cap are excluded from CANDIDATE GENERATION only;
+    # surviving pairs verify with the exact Jaccard over full shingle sets)
+    _NGRAM_CAP, _NGRAM_CAP_TH = 10, 0.05
+
+    def ngram_capped(spark, sf_dir):
+        docs = _documents(spark, sf_dir, spread=True)
+        return dedup.ngram_jaccard_pairs(
+            docs, "text", threshold=_NGRAM_CAP_TH, max_shingle_df=_NGRAM_CAP
+        )
+
+    _J_EXPR = (
+        "round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE"
+        " / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE, 4)"
+    )
+    reg(
+        "dedup_ngram_capped_pairs",
+        ngram_capped,
+        f"""WITH sh AS ({_SHINGLE_SQL}),
+            ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+            keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= {_NGRAM_CAP}),
+            kex AS (SELECT ex.doc_id, ex.g FROM ex JOIN keep USING (g)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM kex a JOIN kex b ON a.g = b.g AND a.doc_id < b.doc_id)
+            SELECT cand.id_a AS id_a, cand.id_b AS id_b, {_J_EXPR} AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+            WHERE {_J_EXPR} >= {_NGRAM_CAP_TH}""",
     )
 
     # ---- embedding near-dup pairs (banded hyperplane LSH, exact twin) ----
