@@ -100,17 +100,41 @@ class IndexHandle:
         return read_norms(self.spark, self.index_dir)
 
     def terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+        """Global (term, df, cf) — MERGE-ON-READ over per-shard partial
+        aggregates (terms/shard=<label>): the base build and every
+        incremental epoch each write only their OWN shard's term stats
+        (idempotent overwrite), and the global view is a lazy sum. For a
+        flat legacy layout (no shard column) the groupBy is an identity.
+        The per-term filter in term_stats still prunes each shard's
+        term-sorted parquet via row-group min/max before the merge."""
+        base = os.path.join(self.index_dir, "terms")
+        df = self.spark.read.option("basePath", base).parquet(base)
+        if "shard" in df.columns:
+            df = df.drop("shard")
+        return df.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        )
+
+    def trigram_terms(self) -> DataFrame:
+        """Distinct (trigram, term, n_trigrams) across shards — shards'
+        vocabularies overlap, and fuzzy's shared-trigram counts must not
+        double-count a (trigram, term) edge that several shards carry.
+        Vocabulary-sized, so the distinct is cheap at any corpus scale."""
+        base = os.path.join(self.index_dir, "trigram_terms")
+        df = self.spark.read.option("basePath", base).parquet(base)
+        return df.select("trigram", "term", "n_trigrams").distinct()
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """df per term — tiny collect (≤ query width rows), parquet-pruned;
         memoized per handle (absent terms cached as 0, never re-queried)."""
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
+            base = os.path.join(self.index_dir, "terms")
+            raw = self.spark.read.option("basePath", base).parquet(base)
             rows = (
-                self.terms()
-                .filter(F.col("term").isin(missing))
-                .select("term", "df")
+                raw.filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
                 .collect()
             )
             found = {r["term"]: r["df"] for r in rows}
@@ -129,11 +153,9 @@ class IndexHandle:
         metadata (the round-2 contains_cross_token regression)."""
         if self._trigram_df is None:
             rows = (
-                self.spark.read.parquet(
-                    os.path.join(self.index_dir, "trigram_terms")
-                )
+                self.trigram_terms()
                 .groupBy("trigram")
-                .agg(F.count("*").alias("n"))
+                .agg(F.count_distinct("term").alias("n"))
                 .collect()
             )
             self._trigram_df = {r["trigram"]: r["n"] for r in rows}

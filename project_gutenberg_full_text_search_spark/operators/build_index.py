@@ -84,9 +84,10 @@ POSTINGS_SCHEMA = T.StructType(
 
 N_TBUCKETS = 64
 DEFAULT_BLOCK_RANGE = 4096
-# bumped when the on-disk layout changes (e.g. min_dl column, sharded norms);
+# bumped when the on-disk layout changes (e.g. min_dl column, sharded norms,
+# v3: per-shard merge-on-read terms/trigram_terms + _norms_stats manifests);
 # stale caches rebuild instead of failing on a missing column.
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def tbucket_col(term_col="term"):
@@ -273,6 +274,49 @@ def _encode_block_frame(pdf: pd.DataFrame, avgdl: float, k1: float, b: float) ->
     )
 
 
+def write_shard_terms(
+    spark: SparkSession, index_dir: str, shard_label: str
+) -> int:
+    """Write ONE shard's partial term aggregates + trigram vocabulary —
+    ``terms/shard=<label>`` and ``trigram_terms/shard=<label>``, both
+    overwrite-idempotent. Work is shard-sized: only
+    ``postings/shard=<label>`` is read. Readers merge lazily
+    (``IndexHandle.terms``: sum of partials; ``IndexHandle.trigram_terms``:
+    distinct edges), so neither a base build nor an incremental epoch ever
+    pays a corpus-wide derived-table re-aggregation. Returns the shard's
+    term count."""
+    from pyspark.sql import Observation
+
+    from project_gutenberg_full_text_search_spark.functions.text import trigrams_col
+
+    shard_postings = spark.read.parquet(
+        os.path.join(index_dir, "postings", f"shard={shard_label}")
+    )
+    terms = shard_postings.groupBy("term").agg(
+        F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
+    )
+    t_obs = Observation(f"n_terms_{shard_label}")
+    (
+        terms.observe(t_obs, F.count(F.lit(1)).alias("n"))
+        # term-sorted files → parquet row-group min/max prune per-term probes
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "terms", f"shard={shard_label}"))
+    )
+    terms_df = spark.read.parquet(
+        os.path.join(index_dir, "terms", f"shard={shard_label}")
+    )
+    tri = (
+        terms_df.select("term", "df", trigrams_col("term").alias("trigrams"))
+        .withColumn("n_trigrams", F.size("trigrams"))
+        .select("term", "df", "n_trigrams", F.explode("trigrams").alias("trigram"))
+    )
+    tri.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "trigram_terms", f"shard={shard_label}")
+    )
+    return t_obs.get["n"]
+
+
 def build_norms(docs: DataFrame, text_col: str = "content") -> DataFrame:
     """Per-doc length + metadata + sha256 invariant (BASELINE.json:15).
 
@@ -365,39 +409,48 @@ def build_index(
     norms_path = os.path.join(norms_root, "shard=base")
     stats_path = os.path.join(index_dir, "stats.json")
     stats = read_json(stats_path) if resume else None
+    derived_stale = False
     if (
         stats is None
         or stats.get("fingerprint") != fingerprint
         or stats.get("format") != FORMAT_VERSION
     ):
         # a rebuild over a stale/foreign layout must clear the old roots
-        # first: overwrite only replaces norms/shard=base, so format-v1
-        # norms parquet living flat under norms/ would make partition
+        # first: overwrite only replaces the base shard dirs, so flat
+        # pre-shard parquet under norms/ or terms/ would make partition
         # discovery fail ("conflicting directory structures"), and stale
-        # incremental shards (norms/shard=inc_*, postings/shard=inc_*)
-        # from the previous fingerprint would double-count into stats and
-        # the terms aggregation. Only reached on fingerprint/format
-        # mismatch — a resumed same-fingerprint build skips this branch,
-        # so shard-level resume manifests stay effective.
+        # incremental shards (shard=inc_*) from the previous fingerprint
+        # would double-count into the merged stats/terms views. Only
+        # reached on fingerprint/format mismatch — a resumed
+        # same-fingerprint build skips this branch, so shard-level resume
+        # manifests stay effective.
         import shutil
 
-        if os.path.isdir(norms_root):
-            shutil.rmtree(norms_root, ignore_errors=True)
-        postings_root = os.path.join(index_dir, "postings")
-        if os.path.isdir(postings_root):
-            shutil.rmtree(postings_root, ignore_errors=True)
+        for sub in ("norms", "postings", "terms", "trigram_terms", "_norms_stats"):
+            p = os.path.join(index_dir, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+        derived_stale = True
         norms = build_norms(docs, text_col)
-        norms.write.mode("overwrite").parquet(norms_path)
-        norms = read_norms(spark, index_dir)
-        row = norms.agg(
-            F.count("*").alias("N"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_tokens"),
-        ).collect()[0]
+        # the corpus stats ride the write (Observation) and land in a
+        # per-shard manifest — no post-write re-scan, and incremental
+        # epochs later just add their own manifests (streaming/incremental)
+        from pyspark.sql import Observation
+
+        n_obs = Observation("norms_base")
+        norms.observe(
+            n_obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        ).write.mode("overwrite").parquet(norms_path)
+        agg = n_obs.get
+        n_base, total = agg["n"], int(agg["sum_dl"] or 0)
+        write_json(
+            os.path.join(index_dir, "_norms_stats", "base.json"),
+            {"shard": "base", "n": n_base, "sum_dl": total},
+        )
         stats = {
-            "N": row["N"],
-            "avgdl": float(row["avgdl"]),
-            "total_tokens": row["total_tokens"],
+            "N": n_base,
+            "avgdl": (total / n_base) if n_base else 0.0,
+            "total_tokens": total,
             "k1": BM25_K1,
             "b": BM25_B,
             "block_range": block_range,
@@ -408,6 +461,7 @@ def build_index(
     avgdl = stats["avgdl"]
 
     # ---- postings, shard by shard ----
+    built_shards: set[int] = set()
     for shard in range(n_shards):
         ck_path = os.path.join(index_dir, "_checkpoints", f"shard_{shard}.json")
         ck = read_json(ck_path) if resume else None
@@ -417,6 +471,7 @@ def build_index(
             and ck.get("format") == FORMAT_VERSION
         ):
             continue
+        built_shards.add(shard)
         ts = time.time()
         shard_docs = (
             docs
@@ -507,36 +562,23 @@ def build_index(
             },
         )
 
-    # ---- terms table (global df/cf; cheap agg over postings) ----
-    from pyspark.sql import Observation
-
-    postings = spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
-        os.path.join(index_dir, "postings")
-    )
-    terms = postings.groupBy("term").agg(
-        F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
-    )
-    t_obs = Observation("n_terms")
-    terms.observe(t_obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "terms"))
-    n_terms = t_obs.get["n"]
-
-    # ---- trigram → term table (GiST/GIN trgm analog, mv_books_dc.sql:472-487)
-    # vocabulary-sized (small): term, its padded trigrams, n_trigrams.
-    terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
-    from project_gutenberg_full_text_search_spark.functions.text import trigrams_col
-
-    tri = (
-        terms_df.select(
-            "term", "df", trigrams_col("term").alias("trigrams")
-        )
-        .withColumn("n_trigrams", F.size("trigrams"))
-        .select("term", "df", "n_trigrams", F.explode("trigrams").alias("trigram"))
-    )
-    tri.write.mode("overwrite").parquet(os.path.join(index_dir, "trigram_terms"))
+    # ---- derived term tables: per-shard partials (merge-on-read) ----
+    # Each postings shard gets its own terms/trigram_terms partial
+    # aggregate (GiST/GIN trgm analog, mv_books_dc.sql:472-487);
+    # IndexHandle merges lazily. Only shards that were (re)built this run
+    # or whose partials are missing are written — a fully-resumed build
+    # does no derived work at all.
+    terms_root = os.path.join(index_dir, "terms")
+    wrote_terms = False
+    for shard in range(n_shards):
+        sd = os.path.join(terms_root, f"shard={shard}")
+        if derived_stale or shard in built_shards or not os.path.isdir(sd):
+            write_shard_terms(spark, index_dir, str(shard))
+            wrote_terms = True
+    if wrote_terms or "n_terms" not in stats:
+        merged = spark.read.option("basePath", terms_root).parquet(terms_root)
+        stats["n_terms"] = merged.select("term").distinct().count()
     stats["build_seconds"] = round(time.time() - t0, 3)
-    stats["n_terms"] = n_terms
     write_json(stats_path, stats)
     write_json(
         os.path.join(index_dir, "_metrics", "summary.json"),
@@ -544,7 +586,12 @@ def build_index(
             "n_docs": stats["N"],
             "n_terms": stats["n_terms"],
             "build_seconds": stats["build_seconds"],
-            "docs_per_sec": round(stats["N"] / stats["build_seconds"], 1),
+            # a fully-resumed build legitimately takes ~0s (no work done)
+            "docs_per_sec": (
+                round(stats["N"] / stats["build_seconds"], 1)
+                if stats["build_seconds"] > 0
+                else None
+            ),
         },
     )
     return stats

@@ -75,8 +75,7 @@ def contains_candidates(handle: IndexHandle, q: str) -> DataFrame | None:
         return spark.createDataFrame([], "doc_id bigint")
     if sum(dfmap[g] for g in gset) > MAX_PREFILTER_TERMS:
         return None
-    tri = spark.read.parquet(f"{handle.index_dir}/trigram_terms")
-    matched = tri.filter(F.col("trigram").isin(gset))
+    matched = handle.trigram_terms().filter(F.col("trigram").isin(gset))
     # term → its matched query trigrams; a doc qualifies iff for EVERY
     # query trigram it contains at least one term carrying that trigram.
     cand = matched.groupBy("term").agg(

@@ -46,9 +46,12 @@ def fuzzy_terms(
     spark = handle.spark
     if not q:
         return spark.createDataFrame([], "term string, sim double")
-    tri = spark.read.parquet(f"{handle.index_dir}/trigram_terms")
+    # handle.trigram_terms() dedups (trigram, term) across index shards —
+    # the shared-count c must not double-count an edge carried by several
+    # incremental epochs' vocabularies
     shared = (
-        tri.filter(F.col("trigram").isin(q))
+        handle.trigram_terms()
+        .filter(F.col("trigram").isin(q))
         .groupBy("term", "n_trigrams")
         .agg(F.count("*").alias("c"))
     )

@@ -20,10 +20,17 @@ Idempotency: foreachBatch is at-least-once, so BOTH writes of an epoch
 a replayed epoch rewrites its own shard instead of duplicating rows, which
 would otherwise inflate N/avgdl and corrupt BM25 scores.
 
-Scale notes: terms/trigram_terms are refreshed by a full re-aggregation
-over postings metadata (term, n_docs, sum_tf — NOT the block payloads);
-at 10^12-file scale this would move to a merge-on-read delta, which the
-layout already permits (terms is derivable, never authoritative).
+Scale notes: terms/trigram_terms ARE a merge-on-read delta (round 3) —
+each epoch writes only its own shard's partial aggregates
+(``terms/shard=<label>``, ``trigram_terms/shard=<label>``, both
+idempotent overwrites) and readers merge lazily
+(``IndexHandle.terms``/``trigram_terms``: lazy sum / distinct over the
+vocabulary-sized union). Corpus-level stats come from per-shard
+``_norms_stats/<label>.json`` manifests (n, sum_dl per shard — an
+Observation riding the norms write), summed driver-side: one tiny JSON
+per epoch instead of a corpus-wide norms re-scan, and replay-idempotent
+because a replayed epoch overwrites its own manifest. At 10^12 files an
+epoch therefore costs only shard-sized work.
 avgdl drift after a refresh is safe for block-max pruning: the query-time
 upper bound is computed from per-block (max_tf, min_dl) with the CURRENT
 stats.json avgdl (operators/bm25.py), never from a build-time-frozen
@@ -46,49 +53,77 @@ from project_gutenberg_full_text_search_spark.operators.build_index import (
     read_norms,
     tbucket_col,
     tokenize_docs,
+    write_shard_terms,
 )
 from project_gutenberg_full_text_search_spark.sources.tables import read_json, write_json
 
 
-def refresh_derived(spark: SparkSession, index_dir: str) -> dict:
-    """Recompute stats.json, terms/, trigram_terms/ from norms+postings."""
+def refresh_stats(spark: SparkSession, index_dir: str) -> dict:
+    """stats.json from the per-shard _norms_stats manifests (one tiny JSON
+    per shard/epoch, summed driver-side — no corpus-wide norms scan).
+    Falls back to a full norms aggregation for legacy dirs without
+    manifests."""
     from project_gutenberg_full_text_search_spark import BM25_B, BM25_K1
-    from project_gutenberg_full_text_search_spark.functions.text import trigrams_col
 
-    norms = read_norms(spark, index_dir)
-    row = norms.agg(
-        F.count("*").alias("N"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-    ).collect()[0]
+    ns_dir = os.path.join(index_dir, "_norms_stats")
+    manifests = (
+        [read_json(os.path.join(ns_dir, f)) for f in sorted(os.listdir(ns_dir))]
+        if os.path.isdir(ns_dir)
+        else []
+    )
+    manifests = [m for m in manifests if m]
+    # manifests are only authoritative when they cover EVERY norms shard —
+    # a legacy base build without one must not make incremental epochs'
+    # manifests undercount the corpus
+    norms_root = os.path.join(index_dir, "norms")
+    shard_labels = {
+        d.split("=", 1)[1]
+        for d in (os.listdir(norms_root) if os.path.isdir(norms_root) else [])
+        if d.startswith("shard=")
+    }
+    covered = {str(m.get("shard")) for m in manifests}
+    if manifests and shard_labels <= covered:
+        N = sum(m["n"] for m in manifests)
+        total = sum(m["sum_dl"] for m in manifests)
+    else:
+        row = read_norms(spark, index_dir).agg(
+            F.count("*").alias("N"), F.sum("dl").alias("total")
+        ).collect()[0]
+        N, total = row["N"], row["total"]
     old = read_json(os.path.join(index_dir, "stats.json")) or {}
     stats = {
         **old,
-        "N": row["N"],
-        "avgdl": float(row["avgdl"]),
-        "total_tokens": row["total_tokens"],
+        "N": N,
+        "avgdl": (total / N) if N else 0.0,
+        "total_tokens": total,
         "k1": BM25_K1,
         "b": BM25_B,
     }
-    from pyspark.sql import Observation
+    write_json(os.path.join(index_dir, "stats.json"), stats)
+    return stats
 
-    base = os.path.join(index_dir, "postings")
-    postings = spark.read.option("basePath", base).parquet(base)
-    terms = postings.groupBy("term").agg(
-        F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
-    )
-    t_obs = Observation("n_terms_refresh")
-    terms.observe(t_obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "terms"))
-    terms_df = spark.read.parquet(os.path.join(index_dir, "terms"))
-    tri = (
-        terms_df.select("term", "df", trigrams_col("term").alias("trigrams"))
-        .withColumn("n_trigrams", F.size("trigrams"))
-        .select("term", "df", "n_trigrams", F.explode("trigrams").alias("trigram"))
-    )
-    tri.write.mode("overwrite").parquet(os.path.join(index_dir, "trigram_terms"))
-    stats["n_terms"] = t_obs.get["n"]
+
+def refresh_derived(
+    spark: SparkSession, index_dir: str, shard_label: str | None = None
+) -> dict:
+    """Refresh stats.json + the derived term tables.
+
+    With ``shard_label`` (the incremental path): ONLY that shard's partial
+    aggregates are (re)written — shard-sized work, replay-idempotent.
+    Without it: every postings shard's partials are rebuilt (legacy/full
+    recompute, also migrates a flat pre-shard layout)."""
+    if shard_label is not None:
+        write_shard_terms(spark, index_dir, shard_label)
+    else:
+        postings_root = os.path.join(index_dir, "postings")
+        for d in sorted(os.listdir(postings_root)):
+            if d.startswith("shard="):
+                write_shard_terms(spark, index_dir, d.split("=", 1)[1])
+    stats = refresh_stats(spark, index_dir)
+    # n_terms = global distinct vocabulary — lazily merged, vocab-sized
+    from project_gutenberg_full_text_search_spark.operators.bm25 import IndexHandle
+
+    stats["n_terms"] = IndexHandle(spark, index_dir, stats).terms().count()
     write_json(os.path.join(index_dir, "stats.json"), stats)
     return stats
 
@@ -110,8 +145,21 @@ def append_docs(
     norms = build_norms(new_docs, text_col)
     # overwrite into a fixed per-shard path (NOT append to the root): an
     # at-least-once epoch replay rewrites the same shard idempotently.
-    norms.write.mode("overwrite").parquet(
+    # The shard's (n, sum_dl) stats ride the write via Observation and
+    # land in a per-shard manifest — global stats become a driver-side
+    # sum of manifests instead of a corpus-wide norms re-scan.
+    from pyspark.sql import Observation
+
+    n_obs = Observation(f"norms_{shard_label}")
+    norms.observe(
+        n_obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(
         os.path.join(index_dir, "norms", f"shard={shard_label}")
+    )
+    agg = n_obs.get
+    write_json(
+        os.path.join(index_dir, "_norms_stats", f"{shard_label}.json"),
+        {"shard": shard_label, "n": agg["n"], "sum_dl": int(agg["sum_dl"] or 0)},
     )
 
     tbucket_expr = tbucket_col()
@@ -136,7 +184,7 @@ def append_docs(
         .parquet(out)
     )
     if refresh:
-        refresh_derived(spark, index_dir)
+        refresh_derived(spark, index_dir, shard_label=shard_label)
 
 
 def stream_refresh(

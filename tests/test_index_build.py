@@ -49,7 +49,8 @@ def test_stats(index_dir, oracle):
 
 
 def test_terms_df_matches_oracle(spark, index_dir, oracle):
-    terms = spark.read.parquet(os.path.join(index_dir, "terms")).toPandas()
+    # merge-on-read: per-shard partial aggregates summed lazily
+    terms = IndexHandle.open(spark, index_dir).terms().toPandas()
     got = terms.set_index("term")["df"].to_dict()
     assert got == dict(oracle.df)
 

@@ -96,6 +96,54 @@ def test_epoch_replay_idempotent(spark, split_corpus):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_incremental_epoch_is_shard_sized(spark, split_corpus):
+    """Merge-on-read derived tables: an epoch writes ONLY its own shard's
+    partial aggregates (terms/shard=<label>, trigram_terms/shard=<label>,
+    _norms_stats/<label>.json) and leaves the base shard's files
+    untouched — the 10^12-scale property that a refresh costs shard-sized
+    work, not a corpus re-aggregation."""
+    full, base, extra = split_corpus
+    d = tempfile.mkdtemp(prefix="pgfts_mor_")
+    try:
+        build_index(spark, base, d, input_fingerprint="base120")
+        base_terms_dir = os.path.join(d, "terms", "shard=0")
+        assert os.path.isdir(base_terms_dir)
+        before = {
+            f: os.path.getmtime(os.path.join(base_terms_dir, f))
+            for f in os.listdir(base_terms_dir)
+        }
+        append_docs(spark, extra, d, "inc_0")
+        # epoch created its own shard partials...
+        assert os.path.isdir(os.path.join(d, "terms", "shard=inc_0"))
+        assert os.path.isdir(os.path.join(d, "trigram_terms", "shard=inc_0"))
+        assert os.path.exists(os.path.join(d, "_norms_stats", "inc_0.json"))
+        # ...and did not rewrite the base shard's term files
+        after = {
+            f: os.path.getmtime(os.path.join(base_terms_dir, f))
+            for f in os.listdir(base_terms_dir)
+        }
+        assert before == after
+        # merged stats are exact: N and avgdl match the full corpus
+        h = IndexHandle.open(spark, d)
+        assert h.stats["N"] == 200
+        # merged term df: lazily-summed view equals a full rebuild's
+        d_full = tempfile.mkdtemp(prefix="pgfts_mor_full_")
+        try:
+            build_index(spark, full, d_full, input_fingerprint="full200")
+            inc_df = {
+                r["term"]: r["df"] for r in h.terms().collect()
+            }
+            full_df = {
+                r["term"]: r["df"]
+                for r in IndexHandle.open(spark, d_full).terms().collect()
+            }
+            assert inc_df == full_df
+        finally:
+            shutil.rmtree(d_full, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_pruning_safe_after_avgdl_drift(spark, split_corpus):
     """Block-max pruning must stay exact when appended docs shift avgdl:
     the per-block upper bound is derived from (max_tf, min_dl) with the
