@@ -445,34 +445,54 @@ def bm25_candidates_blockagg(
         if neg_bits:
             ok &= (mask & neg_bits) == 0
         if phrase_specs:
-            # per-doc positions per phrase term
-            posmap: dict[int, dict[int, np.ndarray]] = {i: {} for i in phrase_term_ids}
+            # flat (doc-row, position) KEY arrays per phrase term: one
+            # adjacency check is then a single np.isin over the whole
+            # partition instead of a Python loop of per-candidate-doc
+            # isin calls (hot-word phrases have thousands of candidates).
+            # KEY packs (row, pos) into one int64: rows < 2^30 partitions
+            # of unique docs, positions < 2^33 tokens per doc.
+            KEY = np.int64(1) << np.int64(33)
+            empty_i64 = np.empty(0, dtype=np.int64)
+            # per-term flat arrays: doc-row per position + packed key
+            flat_rows: dict[int, np.ndarray] = {}
+            flat_keys: dict[int, np.ndarray] = {}
             for ti, chunks in pos_store.items():
+                r_parts, k_parts = [], []
                 for ids, plists in chunks:
+                    if not len(ids):
+                        continue
                     rows = np.searchsorted(uniq, ids)
-                    for rix, pl in zip(rows, plists):
-                        posmap[ti][rix] = pl
+                    lens = np.fromiter(
+                        (len(p) for p in plists), dtype=np.int64, count=len(plists)
+                    )
+                    allpos = (
+                        np.concatenate(plists) if len(plists) else empty_i64
+                    )
+                    rrep = np.repeat(rows, lens)
+                    r_parts.append(rrep)
+                    k_parts.append(rrep * KEY + allpos)
+                flat_rows[ti] = np.concatenate(r_parts) if r_parts else empty_i64
+                flat_keys[ti] = np.concatenate(k_parts) if k_parts else empty_i64
             for spec in phrase_specs:
+                # restrict every term's positions to docs that (a) passed
+                # the boolean clauses so far and (b) carry ALL the phrase
+                # terms — for hot-word phrases this shrinks the isin
+                # inputs by orders of magnitude before any sorting
                 req = 0
                 for i in spec:
                     req |= 1 << i
-                cand = np.nonzero(ok & ((mask & req) == req))[0]
+                cand_mask = ok & ((mask & req) == req)
+                good = flat_keys[spec[0]][cand_mask[flat_rows[spec[0]]]]
+                for step, ti in enumerate(spec[1:], start=1):
+                    if not len(good):
+                        break
+                    nxt = flat_keys[ti][cand_mask[flat_rows[ti]]]
+                    good = good[np.isin(good + step, nxt)]
                 ph_ok = np.zeros(len(uniq), dtype=bool)
-                for rix in cand:
-                    starts = posmap[spec[0]].get(rix)
-                    if starts is None:
-                        continue
-                    good = starts
-                    for step, ti in enumerate(spec[1:], start=1):
-                        nxt = posmap[ti].get(rix)
-                        if nxt is None:
-                            good = good[:0]
-                            break
-                        good = good[np.isin(good + step, nxt)]
-                        if not len(good):
-                            break
-                    ph_ok[rix] = len(good) > 0
-                # phrase clause: doc must carry all phrase terms AND adjacency
+                if len(good):
+                    ph_ok[np.unique(good // KEY)] = True
+                # phrase clause: adjacency implies the doc carries every
+                # phrase term (positions only exist where the term occurs)
                 ok &= ph_ok
         scores = score_mat.sum(axis=1)  # fixed term order → deterministic
         sel = np.nonzero(ok)[0]
@@ -542,7 +562,18 @@ def bm25_candidates_rowagg(
     return per_doc.select("doc_id", "score")
 
 
-PRUNE_MIN_POSTINGS = 50_000
+# Block-max pruning trades 2 extra SERIAL jobs (metadata collect + seed
+# scoring) for a smaller final decode. A job costs ~0.3-1 s of latency on
+# any Spark deployment, and the vectorized decode+score pass sustains
+# tens of millions of postings per second across a few dozen cores — so
+# pruning only pays once the query terms' total posting count reaches
+# the multi-million range (measured at 50k docs / ~10^5-posting hot
+# terms: pruned 2.0-2.6 s vs unpruned 0.6-1.1 s — every query class
+# slower with pruning; the old 50k threshold was ~100x too eager). At
+# 10^12-doc scale hot-term queries carry 10^9+ postings and the pruned
+# path's ~C(2048)-row metadata collect + seed phase is negligible
+# against the avoided decode.
+PRUNE_MIN_POSTINGS = 5_000_000
 
 
 def bm25_topk_pruned_candidates(
