@@ -119,10 +119,19 @@ class IndexHandle:
         """Distinct (trigram, term, n_trigrams) across shards — shards'
         vocabularies overlap, and fuzzy's shared-trigram counts must not
         double-count a (trigram, term) edge that several shards carry.
-        Vocabulary-sized, so the distinct is cheap at any corpus scale."""
+        Vocabulary-sized, so the distinct is cheap at any corpus scale;
+        with a single shard (no overlap possible) it is skipped entirely
+        — no extra shuffle on the common fuzzy/contains path."""
         base = os.path.join(self.index_dir, "trigram_terms")
         df = self.spark.read.option("basePath", base).parquet(base)
-        return df.select("trigram", "term", "n_trigrams").distinct()
+        out = df.select("trigram", "term", "n_trigrams")
+        try:
+            n_shards = sum(
+                1 for d in os.listdir(base) if d.startswith("shard=")
+            )
+        except OSError:  # non-local filesystem → assume multi-shard
+            n_shards = 2
+        return out if n_shards <= 1 else out.distinct()
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """df per term — tiny collect (≤ query width rows), parquet-pruned;

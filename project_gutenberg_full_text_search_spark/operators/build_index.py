@@ -295,10 +295,18 @@ def write_shard_terms(
     terms = shard_postings.groupBy("term").agg(
         F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
     )
+    # The vocabulary tables are small relative to postings (a few MB per
+    # shard at 50k docs; vocabulary grows sub-linearly in corpus size) but
+    # are scanned by EVERY fuzzy/contains query — writing them as one
+    # shuffle's worth of tiny files (~60) makes each query pay ~60 tasks
+    # of pure overhead per scan. Range-partition into a few term-sorted
+    # files instead: scans cost a handful of tasks and per-term probes
+    # prune to one file via parquet min/max. Tunable for bigger vocabs.
+    n_files = int(os.environ.get("PGFTS_TERMS_PARTITIONS", "4"))
     t_obs = Observation(f"n_terms_{shard_label}")
     (
         terms.observe(t_obs, F.count(F.lit(1)).alias("n"))
-        # term-sorted files → parquet row-group min/max prune per-term probes
+        .repartitionByRange(n_files, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "terms", f"shard={shard_label}"))
@@ -311,8 +319,11 @@ def write_shard_terms(
         .withColumn("n_trigrams", F.size("trigrams"))
         .select("term", "df", "n_trigrams", F.explode("trigrams").alias("trigram"))
     )
-    tri.write.mode("overwrite").parquet(
-        os.path.join(index_dir, "trigram_terms", f"shard={shard_label}")
+    (
+        tri.repartitionByRange(n_files, "trigram")
+        .sortWithinPartitions("trigram")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "trigram_terms", f"shard={shard_label}"))
     )
     return t_obs.get["n"]
 
