@@ -11,6 +11,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# direct `python tools/*_job.py` runs need the repo root importable;
+# under spark-submit --py-files the shipped zip provides the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
