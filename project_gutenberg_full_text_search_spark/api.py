@@ -288,6 +288,13 @@ def build_field_indexes(
     content bytes, so these indexes are cheap at any corpus scale.
     Returns {field: index_dir} ready to merge into ``FullTextSearch``'s
     ``indexes=`` mapping.
+
+    ``input_fingerprint`` guards resume: a rebuild into the same
+    ``base_dir`` only reuses the existing artifact when the fingerprint
+    matches.  When not supplied it is DERIVED FROM THE DATA (row count +
+    order-independent hash of (doc_id, field text), one cheap job over the
+    metadata projection) — a static default would silently resume a stale
+    index after the metadata changed.
     """
     import os
 
@@ -296,16 +303,36 @@ def build_field_indexes(
     )
 
     out: dict[SearchField, str] = {}
+    fp_row = None
+    if input_fingerprint is None and resume:
+        cols = sorted({_FIELD_TEXT[f] for f in fields})
+        fp_row = mv.select(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                # bit_xor: order-independent combine, overflow-free under ANSI
+                F.bit_xor(
+                    F.xxhash64(F.col("doc_id"), F.coalesce(F.col(c), F.lit("")))
+                ).alias(f"h_{c}")
+                for c in cols
+            ],
+        ).first()
     for fld in fields:
         col = _FIELD_TEXT[fld]
         d = os.path.join(base_dir, fld.name.lower())
+        fp = input_fingerprint
+        if fp is None:
+            fp = (
+                f"field:{col}:{fp_row['n']}:{fp_row[f'h_{col}']}"
+                if fp_row is not None
+                else f"field:{col}"
+            )
         build_index(
             spark,
             mv.select("doc_id", F.coalesce(F.col(col), F.lit("")).alias(col)),
             d,
             text_col=col,
             resume=resume,
-            input_fingerprint=input_fingerprint or f"field:{col}",
+            input_fingerprint=fp,
         )
         out[fld] = d
     return out
@@ -376,7 +403,18 @@ class FullTextSearch:
                 # field's trigram vocabulary, postings prune the docs scan.
                 sims = fuzzy_candidates(handle, txt).withColumnRenamed("sim", "_rank")
                 return base.join(sims, "doc_id", "inner"), "_rank"
-            # non-indexed field: naive trigram similarity, JVM-side
+            # non-indexed field: naive trigram similarity, JVM-side.
+            # Correct but a FULL SCAN re-tokenizing every row — fine for
+            # one-off queries, wrong as a steady state at corpus scale, so
+            # say so (build_field_indexes is one call away).
+            import warnings
+
+            warnings.warn(
+                f"FUZZY on field {fld.name} falls back to a full-scan "
+                "trigram transform (no per-field index registered); build "
+                "one with build_field_indexes() for corpus-scale use",
+                stacklevel=3,
+            )
             from project_gutenberg_full_text_search_spark.functions.text import (
                 trigrams_col,
             )
@@ -493,13 +531,25 @@ class FullTextSearch:
         return top.drop(*drop_cols) if drop_cols else top
 
     def execute(self, q: SearchQuery) -> dict:
-        """Two-query execute + envelope (reference :366-383)."""
+        """Two-query execute + envelope (reference :366-383).
+
+        The candidate DataFrame (search join + BM25/fuzzy/contains scoring)
+        is persisted across the COUNT and the page fetch: the reference's
+        two queries both hit an index, but in Spark a second action would
+        otherwise RE-RUN the whole scoring join — persist makes the fetch
+        an InMemoryTableScan over the ~result-sized candidate set instead
+        of a recompute (candidates are post-search, so the cached set is
+        bounded by matches, not corpus size)."""
         df, rank_col = self._candidates(q)
-        total = df.count()
-        total_pages = max(1, math.ceil(total / q._page_size))
-        page = min(q._page, total_pages)
-        q._page = page
-        page_rows = self._page_df(q, rank_col, df, page).collect()
+        df = df.persist()
+        try:
+            total = df.count()
+            total_pages = max(1, math.ceil(total / q._page_size))
+            page = min(q._page, total_pages)
+            q._page = page
+            page_rows = self._page_df(q, rank_col, df, page).collect()
+        finally:
+            df.unpersist()
         results = apply_crosswalk(q._crosswalk, page_rows, self._custom)
         return {
             "results": results,

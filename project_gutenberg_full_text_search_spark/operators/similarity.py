@@ -91,6 +91,14 @@ DEFAULT_LSH_DIMS = [0, 7, 14, 21, 28, 35, 42, 49]
 DEFAULT_LSH_NBITS = 16
 DEFAULT_LSH_SEED = 42
 DEFAULT_PROBE_HAMMING = 2
+# Persisted-index default is LOWER than the transient-bucketing default:
+# write_ann_index materializes one partition DIRECTORY per occupied bucket,
+# so file/dir count is bounded by 2^nbits — 16 bits means up to 65,536
+# directories, a listing + small-files liability on object stores. 12 bits
+# caps the artifact at 4,096 dirs while a hamming-2 multi-probe still scans
+# only C(12,<=2)/4096 ~ 1.9% of the data. Raise nbits per-call when the
+# corpus is big enough that finer buckets pay for the extra dirs.
+DEFAULT_INDEX_NBITS = 12
 
 
 def hyperplane_matrix(
@@ -137,6 +145,7 @@ def with_hyperplane_bucket(
     planes: np.ndarray,
     out_col: str = "_bucket",
     method: str = "auto",
+    expect_dim: int | None = None,
 ) -> DataFrame:
     """Append the random-hyperplane bucket of ``vec_col`` as ``out_col``.
 
@@ -149,12 +158,30 @@ def with_hyperplane_bucket(
                       'pandas' (sign bits can differ only for dots within
                       float rounding of zero — irrelevant for recall, which
                       is what the large-dim path is graded on).
+
+    ``expect_dim`` (set by ``write_ann_index``): fail LOUDLY on rows whose
+    vector length ≠ expect_dim instead of silently bucketing them wrong —
+    in the expr path a too-short vector makes element_at return null, the
+    bucket becomes null, and the row lands in a partition multi-probe
+    isin() never reads (silent recall loss).  The check is free: a
+    raise_error branch in the same codegen'd expression (no extra job) /
+    a shape assert on the already-stacked batch.
     """
     nbits, dim = planes.shape
     if method == "auto":
         method = "expr" if nbits * dim <= EXPR_NODE_BUDGET else "pandas"
     if method == "expr":
-        return df.withColumn(out_col, hyperplane_bucket_col(F.col(vec_col), planes))
+        bucket = hyperplane_bucket_col(F.col(vec_col), planes)
+        if expect_dim is not None:
+            bucket = F.when(F.size(F.col(vec_col)) == expect_dim, bucket).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"embedding length != declared dim {expect_dim}: got "),
+                        F.size(F.col(vec_col)).cast("string"),
+                    )
+                ).cast("long")
+            )
+        return df.withColumn(out_col, bucket)
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -170,6 +197,11 @@ def with_hyperplane_bucket(
                 yield pdf
                 continue
             vs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            if expect_dim is not None and vs.shape[1] != expect_dim:
+                raise ValueError(
+                    f"embedding length != declared dim {expect_dim}: "
+                    f"got {vs.shape[1]}"
+                )
             bits = (vs @ weights.T >= 0).astype(np.int64)  # (n, nbits)
             pdf = pdf.copy()
             pdf[out_col] = bits @ pow2
@@ -312,7 +344,7 @@ def write_ann_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nbits: int = DEFAULT_LSH_NBITS,
+    nbits: int = DEFAULT_INDEX_NBITS,
     seed: int = DEFAULT_LSH_SEED,
     method: str = "auto",
     mode: str = "overwrite",
@@ -325,6 +357,18 @@ def write_ann_index(
     persisted artifacts — mv_books_dc.sql's GIN/GiST families; this is the
     embedding-plane twin).
 
+    nbits ↔ file-count trade: the artifact has one partition directory per
+    occupied bucket, bounded by 2^nbits (default 12 → ≤4,096 dirs; 16 →
+    ≤65,536, already painful to list on object stores).  More bits = finer
+    buckets = a smaller fraction scanned per probe but more dirs and
+    smaller files; fewer bits = fatter buckets but a compact artifact.
+    Default ``DEFAULT_INDEX_NBITS`` (12) keeps the dir count object-store
+    friendly while hamming-2 multi-probe still touches only ~1.9% of rows.
+
+    Every row's vector length is validated against ``dim`` inside the
+    bucketing pass (no extra job): a mismatched row would otherwise land
+    in a bucket multi-probe reads never find — silent recall loss.
+
     The index is self-describing: (dim, nbits, seed, vec_col, id_col) are
     written to ``<path>/_ann_meta.json`` so any engine can regenerate the
     identical projection matrix and route queries without out-of-band
@@ -334,7 +378,9 @@ def write_ann_index(
     import os
 
     planes = hyperplane_matrix(dim, nbits, seed)
-    bucketed = with_hyperplane_bucket(emb, vec_col, planes, "bucket", method)
+    bucketed = with_hyperplane_bucket(
+        emb, vec_col, planes, "bucket", method, expect_dim=dim
+    )
     bucketed.write.mode(mode).partitionBy("bucket").parquet(path)
     meta = {
         "format": "ann-lsh-v1",

@@ -544,3 +544,75 @@ def test_get_and_get_many(fts):
     assert fts.get(10**12) is None
     rs = fts.get_many([5, 6, 7], Crosswalk.MINI)
     assert sorted(x["id"] for x in rs) == [5, 6, 7]
+
+
+def test_execute_single_scoring_pass(fts, monkeypatch):
+    """execute() must persist the candidate DataFrame across its COUNT and
+    page-fetch actions (VERDICT r3 #4): without it the page fetch re-runs
+    the whole BM25 scoring join.  Evidence on two levels: (a) execute()
+    routes both actions through one persist/unpersist pair; (b) while the
+    candidates are persisted, the page plan reads an InMemoryTableScan,
+    not a re-derived scoring join."""
+    try:  # Spark 4: the concrete class (with its own persist) lives here
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older Spark
+        from pyspark.sql import DataFrame
+
+    calls = {"persist": 0, "unpersist": 0}
+    orig_persist, orig_unpersist = DataFrame.persist, DataFrame.unpersist
+
+    def spy_persist(self, *a, **k):
+        calls["persist"] += 1
+        return orig_persist(self, *a, **k)
+
+    def spy_unpersist(self, *a, **k):
+        calls["unpersist"] += 1
+        return orig_unpersist(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_unpersist)
+    q = fts.query(Crosswalk.MINI).search("merge", SearchField.CONTENT, SearchType.FTS)
+    env = fts.execute(q)
+    assert env["total"] > 0 and env["results"]
+    assert calls["persist"] >= 1 and calls["unpersist"] == calls["persist"]
+
+    # (b) cached plan actually serves the page fetch
+    q2 = fts.query(Crosswalk.MINI).search("merge", SearchField.CONTENT, SearchType.FTS)
+    df, rank_col = fts._candidates(q2)
+    df = orig_persist(df)
+    try:
+        df.count()
+        page_plan = fts._page_df(q2, rank_col, df, 1)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in page_plan
+    finally:
+        orig_unpersist(df)
+
+
+def test_field_index_fingerprint_tracks_data(spark, dims, tmp_path):
+    """With no explicit input_fingerprint, build_field_indexes derives one
+    from the data (count + xxhash of doc_id+text), so a rebuild into the
+    same base_dir after the metadata CHANGED rebuilds instead of silently
+    resuming the stale index (ADVICE r3)."""
+    import os
+
+    from project_gutenberg_full_text_search_spark.api import build_field_indexes
+    from project_gutenberg_full_text_search_spark.operators.bm25 import IndexHandle
+
+    base = str(tmp_path / "fidx")
+    meta = dims["meta"]
+    build_field_indexes(spark, meta, base, fields=(SearchField.TITLE,))
+    h1 = IndexHandle.open(spark, os.path.join(base, "title"))
+    n1 = h1.stats["N"]
+    fp1 = h1.stats["fingerprint"]
+
+    # same data, resume → fingerprint identical (no spurious rebuild)
+    build_field_indexes(spark, meta, base, fields=(SearchField.TITLE,))
+    fp_same = IndexHandle.open(spark, os.path.join(base, "title")).stats["fingerprint"]
+    assert fp_same == fp1
+
+    # changed data → fingerprint differs and the index reflects the change
+    changed = meta.filter(F.col("doc_id") % 2 == 0)
+    build_field_indexes(spark, changed, base, fields=(SearchField.TITLE,))
+    h2 = IndexHandle.open(spark, os.path.join(base, "title"))
+    assert h2.stats["fingerprint"] != fp1
+    assert h2.stats["N"] < n1

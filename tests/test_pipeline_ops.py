@@ -429,3 +429,34 @@ def test_persisted_ann_index_partition_pruned(spark, tmp_path):
     exact = similarity.cosine_topk(emb, q.tolist(), k=10).toPandas()
     recall = len(set(exact.vec_id) & set(topk.vec_id)) / 10
     assert recall >= 0.9, recall
+
+
+def test_ann_index_default_nbits_caps_dirs(spark, tmp_path):
+    """The persisted-index default is 12 bits → ≤4,096 partition dirs
+    (object-store friendly; the transient query-path default stays 16)."""
+    import os
+
+    emb, q = _clustered_emb(spark, dim=32, n=300)
+    path = str(tmp_path / "ann_default")
+    meta = similarity.write_ann_index(emb, path, dim=32, seed=42)
+    assert similarity.DEFAULT_INDEX_NBITS == 12
+    assert meta["nbits"] == similarity.DEFAULT_INDEX_NBITS
+    dirs = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert 0 < len(dirs) <= 2**similarity.DEFAULT_INDEX_NBITS
+    topk = similarity.ann_index_topk(spark, path, q.tolist(), k=5).toPandas()
+    assert len(topk) == 5 and topk.cos.iloc[0] == 1.0  # query's own vector
+
+
+def test_write_ann_index_rejects_wrong_dim(spark, tmp_path):
+    """A vector whose length != declared dim must fail LOUDLY at write
+    time on both bucketing paths — silently null-bucketed rows would be
+    invisible to multi-probe reads (recall loss with no error)."""
+    emb, _ = _clustered_emb(spark, dim=32, n=40)
+    with pytest.raises(Exception, match="dim"):
+        similarity.write_ann_index(
+            emb, str(tmp_path / "bad_expr"), dim=48, nbits=8, method="expr"
+        )
+    with pytest.raises(Exception, match="dim"):
+        similarity.write_ann_index(
+            emb, str(tmp_path / "bad_pd"), dim=48, nbits=8, method="pandas"
+        )
