@@ -11,6 +11,13 @@ Phases:
 
 Output: {"metric": "suite_wall_sec", "value": ..., "unit": "sec",
          "queries": {...}, "sf": ..., "build": {...}, "scaling": {...}}
+
+Emission protocol: the COMPLETE suite JSON line is printed after every
+phase and re-printed (updated) after every scaling round — consumers take
+the LAST line. A harness timeout mid-run therefore still yields all
+completed phases instead of nothing, and SPARK_GRAFT_BENCH_BUDGET_SEC
+(default 1500) stops scheduling scaling rounds that would not finish
+inside the harness timeout anyway.
 """
 
 from __future__ import annotations
@@ -117,7 +124,31 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+    # WALL-CLOCK BUDGET: the harness runs bench.py under a hard timeout; a
+    # run that exceeds it loses EVERYTHING it didn't print. Two defenses:
+    # (1) a complete suite JSON line is (re-)emitted after every phase and
+    # after every scaling round — the consumer takes the LAST line, so a
+    # kill mid-scaling still yields build+query+partial-scaling data;
+    # (2) scaling rounds stop when the next round (estimated from the last
+    # round's measured wall) would not fit inside the budget.
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
     t_suite = time.time()
+
+    result: dict = {
+        "metric": "suite_wall_sec",
+        "value": 0.0,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {},
+        "p95_query_sec": None,
+        "queries_50k": {},
+        "build": {},
+        "scaling": {},
+    }
+
+    def emit() -> None:
+        result["value"] = round(time.time() - t_suite, 3)
+        print(json.dumps(result), flush=True)
 
     from project_gutenberg_full_text_search_spark.session import get_spark
 
@@ -135,6 +166,8 @@ def main() -> None:
     build_sec = time.time() - t0
     build = {"docs": n_docs, "seconds": round(build_sec, 3),
              "docs_per_sec": round(n_docs / build_sec, 1)}
+    result["build"] = build
+    emit()
 
     # point the entry registry at the freshly built index (skips a rebuild)
     os.environ["PGFTS_INDEX_CACHE"] = os.path.dirname(idx_dir)
@@ -166,6 +199,9 @@ def main() -> None:
         qtimes[name] = round(time.time() - t0, 3)
     sorted_t = sorted(qtimes.values())
     p95 = sorted_t[max(0, int(round(0.95 * len(sorted_t))) - 1)]
+    result["queries"] = qtimes
+    result["p95_query_sec"] = p95
+    emit()
 
     # ---- data-dominated query phase: 50k-doc (~650 MB-ish) corpus so
     # query wall time reflects data work, not local-mode job overhead ----
@@ -215,6 +251,8 @@ def main() -> None:
             "queries": bq,
             "p95_query_sec": bsorted[max(0, int(round(0.95 * len(bsorted))) - 1)],
         }
+    result["queries_50k"] = big
+    emit()
 
     # ---- scaling phase ----
     scaling = {}
@@ -223,18 +261,39 @@ def main() -> None:
         levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
         n_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
         max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "5"))
+        # lo is the expensive level (~n_scale/thr_lo sec per sample) and the
+        # less noisy one; 1 timed sample per round keeps round cost ~2x
+        # smaller while the hi level (short builds, bigger spread) keeps 3.
+        lo_samples = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES_LO", "1"))
+        hi_samples = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES_HI", "3"))
         lo, hi = int(levels[0]), int(levels[1])
+
+        # pre-generate the scaling corpus from THIS 32-core session so the
+        # first (CPU-pinned, 2-core) worker doesn't pay generation time
+        scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        scal_docs = os.path.join(scratch, f"pgfts_scal_docs_{n_scale}_8.0")
+        if not os.path.exists(scal_docs):
+            from project_gutenberg_full_text_search_spark.corpus import gen_corpus
+
+            gen_corpus(spark, n_scale, seed=42, partitions=128,
+                       length_scale=8.0).write.mode("overwrite").parquet(scal_docs)
 
         def _run_worker(c, samples=None):
             args = [sys.executable, os.path.abspath(__file__), "--scaling-worker",
                     str(c), str(n_scale)]
             if samples:
                 args.append(str(samples))
-            out = subprocess.run(
-                args,
-                capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
+            # cap each worker at the remaining budget (+60s grace): a hung
+            # JVM must not push the whole suite past the harness timeout
+            worker_cap = max(120.0, budget_sec - (time.time() - t_suite) + 60.0)
+            try:
+                out = subprocess.run(
+                    args,
+                    capture_output=True, text=True, timeout=worker_cap,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+            except subprocess.TimeoutExpired:
+                return None
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
             return json.loads(line[-1]) if line else None
 
@@ -260,11 +319,42 @@ def main() -> None:
             vals = sorted((r[key] for r in rounds), reverse=True)
             return len(vals) >= 2 and vals[0] - vals[1] <= 0.03 * vals[0]
 
-        while len(rounds) < max_rounds:
-            # the high level is the noisier one (short builds, larger
-            # run-to-run spread) and each extra sample costs ~1/4 of a
-            # low-level sample — take one more there
-            r_lo, r_hi = _run_worker(lo), _run_worker(hi, samples=3)
+        def _publish() -> None:
+            if not rounds:
+                return
+            thr_lo = max(r["lo_docs_per_sec"] for r in rounds)
+            thr_hi = max(r["hi_docs_per_sec"] for r in rounds)
+            scaling.update(
+                {
+                    "n_docs": n_scale,
+                    f"local[{lo}]_docs_per_sec": thr_lo,
+                    f"local[{hi}]_docs_per_sec": thr_hi,
+                    "parallelism_ratio": hi // lo,
+                    "efficiency": round(thr_hi / (thr_lo * (hi / lo)), 3),
+                    "rounds": rounds,
+                }
+            )
+            result["scaling"] = scaling
+            emit()
+
+        # bounded attempts: a persistently failing worker (crash/OOM → no
+        # JSON line → None) must terminate the loop with whatever rounds
+        # were collected, not relaunch forever
+        round_cost = None  # measured wall of the last paired round
+        for attempt in range(max_rounds + 2):
+            if len(rounds) >= max_rounds:
+                break
+            remaining = budget_sec - (time.time() - t_suite)
+            # first round: assume ~2x a lo-level steady-state build + hi
+            # samples ≈ 450 s; later rounds: 1.1x the measured last round
+            est = 1.1 * round_cost if round_cost else 450.0
+            if remaining < est:
+                break
+            t_round = time.time()
+            r_lo, r_hi = _run_worker(lo, samples=lo_samples), _run_worker(
+                hi, samples=hi_samples
+            )
+            round_cost = time.time() - t_round
             if r_lo and r_hi:
                 rounds.append(
                     {
@@ -275,6 +365,7 @@ def main() -> None:
                         ),
                     }
                 )
+                _publish()  # partial results survive a harness timeout
             if (
                 len(rounds) >= n_rounds
                 and _top_two_close("lo_docs_per_sec")
@@ -282,44 +373,24 @@ def main() -> None:
             ):
                 break
         if rounds:
-            thr_lo = max(r["lo_docs_per_sec"] for r in rounds)
-            thr_hi = max(r["hi_docs_per_sec"] for r in rounds)
-            scaling = {
-                "n_docs": n_scale,
-                f"local[{lo}]_docs_per_sec": thr_lo,
-                f"local[{hi}]_docs_per_sec": thr_hi,
-                "parallelism_ratio": hi // lo,
-                "efficiency": round(thr_hi / (thr_lo * (hi / lo)), 3),
-                "rounds": rounds,
-                "note": (
-                    "N->4N-executor criterion measured as CPU-PINNED "
-                    "(sched_setaffinity) steady-state (post-JIT-warmup) "
-                    "builds of the identical ~10KB-doc corpus at N and 4N "
-                    "cores over >=3 rounds; headline = best-per-level "
-                    "ratio best_hi/(best_lo*4) - the max per level is its "
-                    "least-host-disturbed sample, so shared-box noise in "
-                    "any single run can only deflate the headline, never "
-                    "inflate it (a per-round ratio is inflatable by a "
-                    "disturbed LOW run). Pinning + warm-up + 4MB scan "
-                    "splits remove the single-box artifacts (slot-vs-core "
-                    "overcommit, JIT share, scan-wave quantization) that "
-                    "otherwise dominate - protocol details in "
-                    "bench._scaling_worker docstring and BASELINE.md."
-                ),
-            }
+            scaling["note"] = (
+                "N->4N-executor criterion measured as CPU-PINNED "
+                "(sched_setaffinity) steady-state (post-JIT-warmup) "
+                "builds of the identical ~10KB-doc corpus at N and 4N "
+                "cores over budget-bounded paired rounds; headline = "
+                "best-per-level ratio best_hi/(best_lo*4) - the max per "
+                "level is its least-host-disturbed sample, so shared-box "
+                "noise in any single run can only deflate the headline, "
+                "never inflate it (a per-round ratio is inflatable by a "
+                "disturbed LOW run). Pinning + warm-up + 4MB scan "
+                "splits remove the single-box artifacts (slot-vs-core "
+                "overcommit, JIT share, scan-wave quantization) that "
+                "otherwise dominate - protocol details in "
+                "bench._scaling_worker docstring and BASELINE.md."
+            )
+            result["scaling"] = scaling
 
-    suite = round(time.time() - t_suite, 3)
-    print(json.dumps({
-        "metric": "suite_wall_sec",
-        "value": suite,
-        "unit": "sec",
-        "sf": sf,
-        "queries": qtimes,
-        "p95_query_sec": p95,
-        "queries_50k": big,
-        "build": build,
-        "scaling": scaling,
-    }))
+    emit()
 
 
 if __name__ == "__main__":

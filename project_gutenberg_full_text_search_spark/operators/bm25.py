@@ -50,6 +50,7 @@ from project_gutenberg_full_text_search_spark.functions.codec import (
 from project_gutenberg_full_text_search_spark.functions.hashing import md5_long_py
 from project_gutenberg_full_text_search_spark.operators.build_index import N_TBUCKETS
 from project_gutenberg_full_text_search_spark.plans.parser import ParsedQuery, parse_websearch
+from project_gutenberg_full_text_search_spark.sources import fsio
 from project_gutenberg_full_text_search_spark.sources.tables import read_json
 
 
@@ -127,9 +128,9 @@ class IndexHandle:
         out = df.select("trigram", "term", "n_trigrams")
         try:
             n_shards = sum(
-                1 for d in os.listdir(base) if d.startswith("shard=")
+                1 for d in fsio.listdir(base) if d.startswith("shard=")
             )
-        except OSError:  # non-local filesystem → assume multi-shard
+        except Exception:  # unlistable filesystem → assume multi-shard
             n_shards = 2
         return out if n_shards <= 1 else out.distinct()
 

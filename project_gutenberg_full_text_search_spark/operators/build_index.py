@@ -53,6 +53,7 @@ from pyspark.sql import types as T
 
 from project_gutenberg_full_text_search_spark import BM25_B, BM25_K1
 from project_gutenberg_full_text_search_spark.functions.text import tokenize_batch
+from project_gutenberg_full_text_search_spark.sources import fsio
 from project_gutenberg_full_text_search_spark.sources.tables import read_json, write_json
 
 TOKENS_SCHEMA = T.StructType(
@@ -435,12 +436,10 @@ def build_index(
         # reached on fingerprint/format mismatch — a resumed
         # same-fingerprint build skips this branch, so shard-level resume
         # manifests stay effective.
-        import shutil
-
         for sub in ("norms", "postings", "terms", "trigram_terms", "_norms_stats"):
             p = os.path.join(index_dir, sub)
-            if os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
+            if fsio.isdir(p):
+                fsio.rmtree(p)
         derived_stale = True
         norms = build_norms(docs, text_col)
         # the corpus stats ride the write (Observation) and land in a
@@ -583,7 +582,7 @@ def build_index(
     wrote_terms = False
     for shard in range(n_shards):
         sd = os.path.join(terms_root, f"shard={shard}")
-        if derived_stale or shard in built_shards or not os.path.isdir(sd):
+        if derived_stale or shard in built_shards or not fsio.isdir(sd):
             write_shard_terms(spark, index_dir, str(shard))
             wrote_terms = True
     if wrote_terms or "n_terms" not in stats:

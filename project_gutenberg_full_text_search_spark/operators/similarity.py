@@ -374,7 +374,6 @@ def write_ann_index(
     identical projection matrix and route queries without out-of-band
     state.  Returns the metadata dict.
     """
-    import json
     import os
 
     planes = hyperplane_matrix(dim, nbits, seed)
@@ -390,19 +389,24 @@ def write_ann_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
-        json.dump(meta, f)
+    from project_gutenberg_full_text_search_spark.sources.fsio import write_json
+
+    # fsio: metadata lands on the SAME filesystem as the parquet (hdfs://
+    # etc. included), not silently on the driver's local disk
+    write_json(os.path.join(path, "_ann_meta.json"), meta)
     return meta
 
 
 def read_ann_index(spark, path: str) -> tuple[DataFrame, dict]:
     """Open a ``write_ann_index`` artifact → (DataFrame with its ``bucket``
     partition column, metadata dict)."""
-    import json
     import os
 
-    with open(os.path.join(path, "_ann_meta.json")) as f:
-        meta = json.load(f)
+    from project_gutenberg_full_text_search_spark.sources.fsio import read_json
+
+    meta = read_json(os.path.join(path, "_ann_meta.json"))
+    if meta is None:
+        raise FileNotFoundError(f"no ANN index metadata at {path}")
     return spark.read.parquet(path), meta
 
 

@@ -10,7 +10,6 @@ reference's B-tree/GIN index access paths, tables/mv_books_dc.sql:438-494).
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,16 +45,10 @@ def load_testdata(spark: SparkSession, sf_dir: str, names: list[str] | None = No
     return out
 
 
-def write_json(path: str, obj: dict) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)  # atomic publish (checkpoint manifests rely on this)
-
-
-def read_json(path: str) -> dict | None:
-    if not os.path.exists(path):
-        return None
-    with open(path) as f:
-        return json.load(f)
+# JSON metadata IO lives in fsio (local fast path + Hadoop FileSystem for
+# hdfs://-style URIs); re-exported here because every operator imports it
+# from this module.
+from project_gutenberg_full_text_search_spark.sources.fsio import (  # noqa: E402,F401
+    read_json,
+    write_json,
+)

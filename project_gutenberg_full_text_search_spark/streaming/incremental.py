@@ -55,6 +55,7 @@ from project_gutenberg_full_text_search_spark.operators.build_index import (
     tokenize_docs,
     write_shard_terms,
 )
+from project_gutenberg_full_text_search_spark.sources import fsio
 from project_gutenberg_full_text_search_spark.sources.tables import read_json, write_json
 
 
@@ -67,8 +68,8 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> dict:
 
     ns_dir = os.path.join(index_dir, "_norms_stats")
     manifests = (
-        [read_json(os.path.join(ns_dir, f)) for f in sorted(os.listdir(ns_dir))]
-        if os.path.isdir(ns_dir)
+        [read_json(os.path.join(ns_dir, f)) for f in fsio.listdir(ns_dir)]
+        if fsio.isdir(ns_dir)
         else []
     )
     manifests = [m for m in manifests if m]
@@ -78,7 +79,7 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> dict:
     norms_root = os.path.join(index_dir, "norms")
     shard_labels = {
         d.split("=", 1)[1]
-        for d in (os.listdir(norms_root) if os.path.isdir(norms_root) else [])
+        for d in (fsio.listdir(norms_root) if fsio.isdir(norms_root) else [])
         if d.startswith("shard=")
     }
     covered = {str(m.get("shard")) for m in manifests}
@@ -116,7 +117,7 @@ def refresh_derived(
         write_shard_terms(spark, index_dir, shard_label)
     else:
         postings_root = os.path.join(index_dir, "postings")
-        for d in sorted(os.listdir(postings_root)):
+        for d in fsio.listdir(postings_root):
             if d.startswith("shard="):
                 write_shard_terms(spark, index_dir, d.split("=", 1)[1])
     stats = refresh_stats(spark, index_dir)

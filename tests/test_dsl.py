@@ -616,3 +616,40 @@ def test_field_index_fingerprint_tracks_data(spark, dims, tmp_path):
     h2 = IndexHandle.open(spark, os.path.join(base, "title"))
     assert h2.stats["fingerprint"] != fp1
     assert h2.stats["N"] < n1
+
+
+def test_language_enum_full_reference_parity():
+    """All 70 (code, label) pairs of the reference Language enum
+    (reference search/constants.py:73-150) — the full surface, hardcoded
+    here so the check runs without the reference checkout present."""
+    from project_gutenberg_full_text_search_spark.constants import Language
+
+    expected = {
+        "en": "English", "af": "Afrikaans", "ale": "Aleut",
+        "ang": "Old English", "ar": "Arabic", "arp": "Arapaho",
+        "bg": "Bulgarian", "bgs": "Basa Banyumasan", "bo": "Tibetan",
+        "br": "Breton", "brx": "Bodo", "ca": "Catalan", "ceb": "Cebuano",
+        "cs": "Czech", "csb": "Kashubian", "cy": "Welsh", "da": "Danish",
+        "de": "German", "el": "Greek", "enm": "Middle English",
+        "eo": "Esperanto", "es": "Spanish", "et": "Estonian",
+        "fa": "Persian", "fi": "Finnish", "fr": "French", "fur": "Friulian",
+        "fy": "Western Frisian", "ga": "Irish", "gl": "Galician",
+        "gla": "Scottish Gaelic", "grc": "Ancient Greek", "hai": "Haida",
+        "he": "Hebrew", "hu": "Hungarian", "ia": "Interlingua",
+        "ilo": "Iloko", "is": "Icelandic", "it": "Italian",
+        "iu": "Inuktitut", "ja": "Japanese", "kha": "Khasi",
+        "kld": "Klamath-Modoc", "ko": "Korean", "la": "Latin",
+        "lt": "Lithuanian", "mi": "Māori", "myn": "Mayan Languages",
+        "nah": "Nahuatl", "nai": "North American Indian",
+        "nap": "Neapolitan", "nav": "Navajo", "nl": "Dutch",
+        "no": "Norwegian", "oc": "Occitan", "oji": "Ojibwa", "pl": "Polish",
+        "pt": "Portuguese", "rmq": "Romani", "ro": "Romanian",
+        "ru": "Russian", "sa": "Sanskrit", "sco": "Scots",
+        "sl": "Slovenian", "sr": "Serbian", "sv": "Swedish", "te": "Telugu",
+        "tl": "Tagalog", "yi": "Yiddish", "zh": "Chinese",
+    }
+    assert len(expected) == 70
+    got = {lang.code: lang.label for lang in Language}
+    assert got == expected
+    # enum-name access parity: Language.EN / Language["ZH"] style lookups
+    assert Language["EN"].code == "en" and Language["ZH"].label == "Chinese"
