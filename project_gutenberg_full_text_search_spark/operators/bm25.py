@@ -375,7 +375,21 @@ def bm25_candidates_blockagg(
     blocks = handle.blocks_for(present)
     if block_keys is not None:
         if isinstance(block_keys, DataFrame):
-            blocks = blocks.join(block_keys, "block_key", "left_semi")
+            # EXPLICIT broadcast — load-bearing for correctness, not a perf
+            # hint. Left to itself Catalyst plans a sort-merge semi join
+            # whose output is hash-partitioned by block_key, judges the
+            # repartition below REDUNDANT and elides it; AQE then swaps
+            # the SMJ for a broadcast join at runtime, reverting the
+            # stream to scan partitioning with no exchange left — and
+            # gen's one-partition-per-block_key invariant silently breaks
+            # (measured at 2M docs: duplicate doc_ids with partial
+            # scores). A statically-planned broadcast join never
+            # satisfies the distribution requirement, so the repartition
+            # always survives. The key set is ≤ blocks-above-θ rows (one
+            # long each); if a corpus ever produces a survivor set too big
+            # to broadcast, pruning it wouldn't help anyway — callers
+            # should pass prune=False there.
+            blocks = blocks.join(F.broadcast(block_keys), "block_key", "left_semi")
         else:
             blocks = blocks.filter(F.col("block_key").isin([int(x) for x in block_keys]))
 
@@ -573,16 +587,34 @@ def bm25_candidates_rowagg(
 
 
 # Block-max pruning trades 2 extra SERIAL jobs (metadata collect + seed
-# scoring) for a smaller final decode. A job costs ~0.3-1 s of latency on
-# any Spark deployment, and the vectorized decode+score pass sustains
-# tens of millions of postings per second across a few dozen cores — so
-# pruning only pays once the query terms' total posting count reaches
-# the multi-million range (measured at 50k docs / ~10^5-posting hot
-# terms: pruned 2.0-2.6 s vs unpruned 0.6-1.1 s — every query class
-# slower with pruning; the old 50k threshold was ~100x too eager). At
-# 10^12-doc scale hot-term queries carry 10^9+ postings and the pruned
-# path's ~C(2048)-row metadata collect + seed phase is negligible
-# against the avoided decode.
+# scoring) for a smaller final decode. Whether that ever pays was MEASURED
+# both below and above the old 5M-posting auto-threshold
+# (tools/prune_bench.py; full numbers in BASELINE.md):
+#
+#   50k docs,  mass ~10^5-3·10^5: pruned 2.0-2.6 s vs unpruned 0.6-1.1 s
+#   2M docs,   mass 6M (3-term AND): pruned 5.6 s vs unpruned 2.5 s
+#   2M docs,   mass 10M (5-term AND): pruned 6.3 s vs unpruned 1.1 s
+#
+# Pruning loses at EVERY measured mass, and the reason is structural, not
+# noise: with dense doc_ids and block_range 4096, a hot term's ~4k-doc
+# blocks all contain near-identical (max_tf, min_dl) — the per-block upper
+# bounds are uniform, θ from the seed blocks prunes ~0% of ranges, and the
+# "pruned" run is the full run plus two serial jobs. Block-max WAND's win
+# condition is score mass CONCENTRATED in few doc ranges; the batch
+# engine's other pruning layers already capture the realistic sources of
+# that concentration (AND queries intersect block ranges exactly before
+# decoding — bm25_candidates_blockagg; tbucket/min-max pruning skips
+# non-query terms entirely), so the residual blockmax win requires both
+# per-block impact skew AND 10^8+ residual postings — plausible at
+# 10^12-doc scale with fine-grained blocks, absent in every configuration
+# this engine can measure. Auto-engage is therefore OFF (prune=None →
+# unpruned); prune=True stays available and exact for corpora whose
+# block-level impact distribution is genuinely skewed.
+#
+# PRUNE_MIN_POSTINGS documents the measured certain-loss floor for
+# reference (kept for callers building their own engage heuristics);
+# prune=True always forces the path — exactness is tested at any size,
+# and the perf call is the caller's.
 PRUNE_MIN_POSTINGS = 5_000_000
 
 
@@ -667,16 +699,14 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k (doc_id, score) — deterministic (score desc, doc_id asc).
 
-    prune=None → block-max pruning kicks in automatically when the query
-    terms' total posting count makes two extra metadata jobs worthwhile.
+    prune=None (default) → UNPRUNED: block-max pruning measured slower at
+    every posting mass this engine can generate (see PRUNE_MIN_POSTINGS
+    comment + BASELINE.md); the default path already prunes via tbucket
+    partitions, parquet term min/max, and exact AND block-range
+    intersection. prune=True forces the block-max path (exact, tested).
     """
     pq = parse_websearch(query) if isinstance(query, str) else query
-    if prune is None or prune:
-        dfs = handle.term_stats(pq.positive_terms)
-        total = sum(dfs.values())
-        use_prune = total >= PRUNE_MIN_POSTINGS if prune is None else True
-    else:
-        use_prune = False
+    use_prune = bool(prune)
     if use_prune and len(pq.positive_terms) + len(pq.neg_terms) <= 62:
         cands = bm25_topk_pruned_candidates(handle, pq, offset + k)
     else:

@@ -81,3 +81,49 @@ def test_determinism_across_runs(handle):
     a = bm25_topk(handle, q, k=20).toPandas()
     b = bm25_topk(handle, q, k=20).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_blockagg_block_keys_dataframe_matches_list(handle, spark):
+    """Restricting blockagg by a block_key DATAFRAME must equal the same
+    restriction by a python list — regression for a partitioning hazard:
+    Catalyst planned the semi join sort-merge (output hash-partitioned by
+    block_key), elided the explicit repartition as redundant, then AQE
+    swapped in a broadcast join at runtime, leaving NO exchange — gen's
+    one-partition-per-block_key invariant broke and per-doc aggregation
+    split into duplicate partial rows (found at 2M docs, 'merge or
+    block'). The shipped fix forces a statically-planned broadcast semi
+    join so the repartition always survives."""
+    from pyspark.sql import functions as F
+
+    from project_gutenberg_full_text_search_spark.operators.bm25 import (
+        bm25_candidates_blockagg,
+    )
+    from project_gutenberg_full_text_search_spark.plans.parser import parse_websearch
+
+    pq = parse_websearch("index or query")  # two hot terms, OR semantics
+    keys_df = (
+        handle.blocks_for(pq.positive_terms).select("block_key").distinct()
+    )
+    keys = [r["block_key"] for r in keys_df.collect()]
+    via_df = (
+        bm25_candidates_blockagg(handle, pq, block_keys=keys_df)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .toPandas()
+    )
+    via_list = (
+        bm25_candidates_blockagg(handle, pq, block_keys=keys)
+        .withColumn("score", F.round("score", 4))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .toPandas()
+    )
+    # no duplicate per-doc rows (the failure mode was partial duplicates)
+    assert via_df.doc_id.is_unique
+    assert via_df.doc_id.tolist() == via_list.doc_id.tolist()
+    assert via_df.score.tolist() == via_list.score.tolist()
+    # and the plan actually retains an exchange above the semi join
+    plan = (
+        bm25_candidates_blockagg(handle, pq, block_keys=keys_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

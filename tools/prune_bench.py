@@ -68,7 +68,8 @@ def main() -> None:
         "single_hot": "index",
         "and_hot2": "index query",
         "and_hot3": "index query token",
-        "or_hot2": "merge or block",
+        "and_hot5": "index query token merge block",
+        "or_hot3": "index or query or token",
         "phrase_hot": '"merge sorted posting"',
     }
     out = {"n_docs": args.docs, "threshold": PRUNE_MIN_POSTINGS,
