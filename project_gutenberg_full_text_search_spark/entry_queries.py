@@ -1049,4 +1049,97 @@ def build_registry():
              FROM events) WHERE rn <= 5""",
     )
 
+    # ---- PII/URL scrubbing (training-data redaction pass) ----
+    def scrub_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators import scrub
+
+        return scrub.scrub_text(_documents(spark, sf_dir), "text")
+
+    from project_gutenberg_full_text_search_spark.operators.scrub import (
+        scrub_count_sql,
+        scrub_sql,
+    )
+
+    reg(
+        "text_scrub_pii",
+        scrub_q,
+        f"""SELECT doc_id, {scrub_sql('text')} AS clean,
+                   {', '.join(scrub_count_sql('text'))}
+            FROM documents""",
+    )
+
+    # ---- near-dup clustering (connected components over minhash pairs)
+    # + canonical-survivor selection — the "keep one doc per duplicate
+    # group" step after any pair-producing dedup operator ----
+    def neardup_clusters_q(spark, sf_dir):
+        docs = _documents(spark, sf_dir, spread=True)
+        pairs = dedup.minhash_dedup_pairs(docs, "text", threshold=0.5)
+        return dedup.neardup_clusters(pairs)
+
+    _cc_pairs_cte = f"""{_minhash_sig_cte(16)},
+            sigs AS (SELECT doc_id, list(minhash ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, band, {md5_long_sql(_band_arg)} AS bh
+              FROM sigs, (SELECT unnest(range(4)) AS band) bd
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bands x JOIN bands y
+                ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+            ),
+            pairs AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                          JOIN sh b ON b.doc_id = c.id_b
+              WHERE {_jac} >= 0.5
+            ),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach(id, label) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.id
+            )"""
+    reg(
+        "dedup_neardup_clusters",
+        neardup_clusters_q,
+        f"""WITH RECURSIVE {_cc_pairs_cte}
+            SELECT id AS doc_id, min(label)::BIGINT AS cluster
+            FROM reach GROUP BY id""",
+    )
+
+    def canonical_q(spark, sf_dir):
+        docs = _documents(spark, sf_dir, spread=True)
+        pairs = dedup.minhash_dedup_pairs(docs, "text", threshold=0.5)
+        clusters = dedup.neardup_clusters(pairs)
+        return dedup.canonical_docs(_documents(spark, sf_dir), clusters)
+
+    reg(
+        "dedup_canonical_docs",
+        canonical_q,
+        f"""WITH RECURSIVE {_cc_pairs_cte},
+            cl AS (SELECT id AS doc_id, min(label)::BIGINT AS cluster
+                   FROM reach GROUP BY id)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN cl ON d.doc_id = cl.doc_id
+            WHERE cl.doc_id IS NULL OR cl.doc_id = cl.cluster""",
+    )
+
+    # ---- deterministic hash sampling (reproducible subset carving) ----
+    def sample_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators.etl import hash_sample
+
+        return hash_sample(_documents(spark, sf_dir), 0.1, seed=7).select(
+            "doc_id", "lang", "n_chars"
+        )
+
+    from project_gutenberg_full_text_search_spark.operators.etl import hash_sample_sql
+
+    reg(
+        "sample_hash_10pct",
+        sample_q,
+        f"""SELECT doc_id, lang, n_chars FROM documents
+            WHERE {hash_sample_sql('doc_id', 0.1, 7)}""",
+    )
+
     return queries, oracles

@@ -408,3 +408,76 @@ def simhash_candidate_pairs(
         )
         .select("id_a", "id_b", "hamming")
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list →
+    (doc_id, cluster) where cluster = the smallest doc_id reachable.
+
+    The grouping step of every dedup pipeline: pair lists (minhash / ngram
+    / simhash / embedding) are edges; "keep one doc per duplicate GROUP"
+    needs the transitive closure, not the pairs. Implemented as min-label
+    propagation — per round, every node takes the min label among itself
+    and its neighbors; converges in O(graph diameter) rounds (near-dup
+    clusters are dense, diameters are tiny). Each round is ONE shuffled
+    join + groupBy at cluster-graph scale (pairs, not corpus); the
+    convergence check rides the same aggregation via max(changed) — no
+    extra comparison join per round. Only nodes that APPEAR IN PAIRS are
+    returned (singleton docs need no clustering — see canonical_docs).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    labels.count()  # materialize so each round builds on a computed base
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels, sym["b"] == labels["id"], "inner"
+        ).select(sym["a"].alias("id"), "label")
+        proposed = labels.unionByName(neigh)
+        new_labels = (
+            proposed.groupBy("id")
+            .agg(F.min("label").alias("new_label"))
+            .join(labels.withColumnRenamed("label", "old_label"), "id")
+            .select(
+                "id",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).alias("_chg"),
+            )
+            .persist()
+        )
+        changed = new_labels.agg(F.max("_chg")).first()[0]
+        labels.unpersist()
+        labels = new_labels.drop("_chg")
+        if not changed:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def canonical_docs(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """doc ids SURVIVING dedup: for every near-dup cluster keep the
+    smallest doc_id; docs in no cluster survive untouched. One broadcast-
+    or AQE-sized left join against the cluster table (cluster-graph sized,
+    tiny relative to the corpus)."""
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster")).select("doc_id")
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        dropped, "doc_id", "left_anti"
+    )

@@ -149,3 +149,43 @@ def write_sorted_table(
 
 def read_sorted_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path))
+
+
+def hash_sample_col(id_col: str | F.Column, fraction: float, seed: int = 42):
+    """Deterministic, engine-portable sampling predicate.
+
+    keep iff md5_long('seed:' || id) % 1_000_000 < fraction·1_000_000 —
+    unlike rand()-based sampling this is (a) reproducible across engines
+    (the DuckDB oracle computes the identical predicate — see
+    hash_sample_sql), (b) stable under repartitioning/retries (pure
+    function of the row, not of task order), and (c) consistent across
+    tables keyed by the same id (sampling docs and their embeddings with
+    the same seed keeps them aligned). The standard trick for carving
+    reproducible training-data subsets at any scale.
+    """
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_col,
+    )
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (seeded_hash_col(c.cast("string"), seed) % 1_000_000) < int(
+        round(fraction * 1_000_000)
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    return df.filter(hash_sample_col(id_col, fraction, seed))
+
+
+def hash_sample_sql(id_expr: str, fraction: float, seed: int = 42) -> str:
+    """DuckDB predicate selecting the identical sample."""
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_sql,
+    )
+
+    return (
+        f"({seeded_hash_sql(f'{id_expr}::VARCHAR', seed)} % 1000000)"
+        f" < {int(round(fraction * 1_000_000))}"
+    )

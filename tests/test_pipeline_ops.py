@@ -460,3 +460,137 @@ def test_write_ann_index_rejects_wrong_dim(spark, tmp_path):
         similarity.write_ann_index(
             emb, str(tmp_path / "bad_pd"), dim=48, nbits=8, method="pandas"
         )
+
+
+# ---- scrubbing / clustering / sampling (training-data pipeline ops) ----
+
+def test_scrub_text_redacts_known_pii(spark):
+    from project_gutenberg_full_text_search_spark.operators import scrub
+
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "contact me at alice.smith+dev@example.co.uk today",
+                "see https://example.com/a?b=c&d=e and http://x.io/p",
+                "server at 192.168.1.254 responded; also 10.0.0.1.",
+                "clean text with no pii at all",
+            ],
+        }
+    )
+    got = (
+        scrub.scrub_text(spark.createDataFrame(rows))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got.clean.tolist() == [
+        "contact me at <EMAIL> today",
+        "see <URL> and <URL>",
+        "server at <IP> responded; also <IP>.",
+        "clean text with no pii at all",
+    ]
+    assert got.n_email.tolist() == [1, 0, 0, 0]
+    assert got.n_url.tolist() == [0, 2, 0, 0]
+    assert got.n_ipv4.tolist() == [0, 0, 2, 0]
+
+
+def test_scrub_sql_twin_matches(spark):
+    """The DuckDB twin must produce byte-identical redactions."""
+    import duckdb
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.operators import scrub
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": [
+                "a@b.io and https://u:pw@host/path plus 8.8.8.8",
+                "nested url http://e.com/x@y.z trailing",
+                "999.1.1.1 borderline 1.2.3.4.5 and x@y",
+                "",
+                "multi a@b.cd c@d.ef https://q.r 1.1.1.1",
+            ],
+        }
+    )
+    got = (
+        scrub.scrub_text(spark.createDataFrame(rows))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", rows)
+    exp = con.execute(
+        f"SELECT doc_id, {scrub.scrub_sql('text')} AS clean, "
+        + ", ".join(scrub.scrub_count_sql("text"))
+        + " FROM t ORDER BY doc_id"
+    ).df()
+    assert got.clean.tolist() == exp.clean.tolist()
+    for c in ("n_url", "n_email", "n_ipv4"):
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_neardup_clusters_components(spark):
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # component {1,2,3,4} as a CHAIN (forces multi-round
+                # propagation), component {10,11}, component {20,21,22}
+                # as a triangle
+                "id_a": [1, 2, 3, 10, 20, 20, 21],
+                "id_b": [2, 3, 4, 11, 21, 22, 22],
+            }
+        )
+    )
+    got = dedup.neardup_clusters(pairs).toPandas().sort_values("doc_id")
+    assert dict(zip(got.doc_id, got.cluster)) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_canonical_docs_keeps_one_per_cluster(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(8))})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]})
+    )
+    clusters = dedup.neardup_clusters(pairs)
+    kept = sorted(
+        r.doc_id for r in dedup.canonical_docs(docs, clusters).collect()
+    )
+    # {1,2,3} -> keep 1; {5,6} -> keep 5; singletons 0,4,7 survive
+    assert kept == [0, 1, 4, 5, 7]
+
+
+def test_hash_sample_deterministic_and_cross_engine(spark, documents, docs_pdf):
+    import duckdb
+
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        hash_sample,
+        hash_sample_sql,
+    )
+
+    a = sorted(r.doc_id for r in hash_sample(documents, 0.2, seed=7).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(documents.repartition(13), 0.2, seed=7)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and 0 < len(a) < len(docs_pdf)  # stable under repartition
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+    exp = con.execute(
+        f"SELECT doc_id FROM documents WHERE {hash_sample_sql('doc_id', 0.2, 7)} ORDER BY doc_id"
+    ).df()
+    assert a == exp.doc_id.tolist()
+    # different seed → different sample
+    c = sorted(r.doc_id for r in hash_sample(documents, 0.2, seed=8).select("doc_id").collect())
+    assert c != a
