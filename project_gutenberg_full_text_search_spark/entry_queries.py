@@ -1049,6 +1049,25 @@ def build_registry():
              FROM events) WHERE rn <= 5""",
     )
 
+    # ---- watermarked windowed rollup (batch twin of the streaming
+    # operator — identical plan; streaming/operators.windowed_rollup) ----
+    def win_rollup_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.streaming.operators import (
+            windowed_rollup,
+        )
+
+        return windowed_rollup(_read(spark, sf_dir, "events"), window="1 day")
+
+    reg(
+        "events_windowed_rollup",
+        win_rollup_q,
+        """SELECT date_trunc('day', ts) AS win_start, event_type,
+                  count(*)::BIGINT AS n,
+                  round(sum(value), 4) AS sum_value,
+                  round(avg(value), 4) AS avg_value
+           FROM events GROUP BY 1, 2""",
+    )
+
     # ---- PII/URL scrubbing (training-data redaction pass) ----
     def scrub_q(spark, sf_dir):
         from project_gutenberg_full_text_search_spark.operators import scrub

@@ -161,3 +161,169 @@ def test_pruning_safe_after_avgdl_drift(spark, split_corpus):
             assert pruned.score.tolist() == exact.score.tolist(), q
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- watermarked windowed aggregation + stateful dedup (operators.py) ----
+
+def _events_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+
+def _mk_events(spark, rows):
+    import datetime
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i,
+                "ts": datetime.datetime(2026, 1, d, h),
+                "event_type": t,
+                "value": float(v),
+            }
+            for i, (d, h, t, v) in enumerate(rows)
+        ]
+    )
+    return spark.createDataFrame(pdf, schema=_events_schema())
+
+
+def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
+    """availableNow streaming rollup (complete mode) == the identical
+    batch plan over the same files."""
+    from project_gutenberg_full_text_search_spark.streaming.operators import (
+        windowed_rollup,
+    )
+
+    src = str(tmp_path / "ev_src")
+    rows = [(d, h, t, d * 10 + h) for d in (1, 2, 3) for h in (0, 6, 12)
+            for t in ("click", "view")]
+    _mk_events(spark, rows).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(_events_schema()).parquet(src)
+    q = (
+        windowed_rollup(stream, window="1 day", watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("roll_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("roll_mem")
+        .orderBy("win_start", "event_type")
+        .toPandas()
+    )
+    exp = (
+        windowed_rollup(spark.read.parquet(src), window="1 day")
+        .orderBy("win_start", "event_type")
+        .toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    assert len(got) == 6  # 3 days x 2 types
+
+
+def test_windowed_rollup_watermark_drops_too_late(spark, tmp_path):
+    """Across two checkpointed availableNow runs, rows later than the
+    watermark bound are DROPPED; windows finalize (append-mode emit) only
+    once the watermark passes their end."""
+    from project_gutenberg_full_text_search_spark.streaming.operators import (
+        windowed_rollup,
+    )
+
+    src = str(tmp_path / "ev_src2")
+    ck = str(tmp_path / "ev_ck")
+    out = str(tmp_path / "ev_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once(batch_rows, part):
+        _mk_events(spark, batch_rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"part{part}")
+        )
+        stream = spark.readStream.schema(_events_schema()).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = (
+            windowed_rollup(stream, window="1 day", watermark="2 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: days 1..10 → watermark ends at day10 - 2d = day8;
+    # append emits only windows whose END <= day8 (days 1..7)
+    run_once([(d, 0, "click", 1) for d in range(1, 11)], 1)
+    first = spark.read.parquet(out).toPandas()
+    assert sorted(first.win_start.dt.day.tolist()) == list(range(1, 8))
+
+    # batch 2: a LATE row for day 5 (before watermark day8 → dropped) and
+    # a day-12 row (advances watermark to day10 → finalizes days 8,9)
+    run_once([(5, 6, "click", 99), (12, 0, "click", 1)], 2)
+    final = spark.read.parquet(out).toPandas()
+    by_day = {int(d): int(n) for d, n in zip(final.win_start.dt.day, final.n)}
+    assert by_day[5] == 1          # late day-5 row NOT folded in
+    assert 8 in by_day and 9 in by_day  # finalized by the new watermark
+    assert 12 not in by_day        # still open (watermark at day 10)
+
+
+def test_stream_dedup_exact_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: first occurrence emitted once with
+    same-batch duplicate count; re-occurrences in LATER batches are
+    suppressed via the checkpointed state store."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from project_gutenberg_full_text_search_spark.streaming.operators import (
+        stream_dedup_exact,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "dd_src")
+    ck = str(tmp_path / "dd_ck")
+    out = str(tmp_path / "dd_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once(rows, part):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), schema=schema
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"p{part}"))
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = (
+            stream_dedup_exact(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once([(1, "xxx"), (2, "yyy"), (3, "xxx")], 1)
+    first = spark.read.parquet(out).toPandas().sort_values("doc_id")
+    assert first.text.tolist() == ["xxx", "yyy"]
+    assert dict(zip(first.text, first.batch_dupes)) == {"xxx": 1, "yyy": 0}
+
+    run_once([(4, "xxx"), (5, "zzz")], 2)  # xxx seen before → suppressed
+    final = spark.read.parquet(out).toPandas().sort_values("doc_id")
+    assert sorted(final.text.tolist()) == ["xxx", "yyy", "zzz"]
+    assert final[final.text == "zzz"].batch_dupes.iloc[0] == 0
