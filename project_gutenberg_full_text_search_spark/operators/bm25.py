@@ -83,6 +83,13 @@ class IndexHandle:
     # of one index state — after an incremental refresh callers re-open.
     _df_cache: dict = field(default_factory=dict)
     _trigram_df: dict | None = None
+    # memoized SCAN DataFrames: spark.read.parquet builds a fresh
+    # InMemoryFileIndex (a full file listing) per call — ~0.1-0.5 s of
+    # pure overhead on every query against a many-file index, and worse on
+    # object stores where LIST is a paged RPC. One relation per handle
+    # reuses the resolved FileIndex across every query (plans are
+    # immutable; the handle is a snapshot of one index state by contract).
+    _scan_cache: dict = field(default_factory=dict)
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "IndexHandle":
@@ -91,9 +98,16 @@ class IndexHandle:
             raise FileNotFoundError(f"no index at {index_dir}")
         return cls(spark, index_dir, stats)
 
+    def _scan(self, sub: str) -> DataFrame:
+        df = self._scan_cache.get(sub)
+        if df is None:
+            base = os.path.join(self.index_dir, sub)
+            df = self.spark.read.option("basePath", base).parquet(base)
+            self._scan_cache[sub] = df
+        return df
+
     def postings(self) -> DataFrame:
-        base = os.path.join(self.index_dir, "postings")
-        return self.spark.read.option("basePath", base).parquet(base)
+        return self._scan("postings")
 
     def norms(self) -> DataFrame:
         from project_gutenberg_full_text_search_spark.operators.build_index import read_norms
@@ -108,8 +122,7 @@ class IndexHandle:
         flat legacy layout (no shard column) the groupBy is an identity.
         The per-term filter in term_stats still prunes each shard's
         term-sorted parquet via row-group min/max before the merge."""
-        base = os.path.join(self.index_dir, "terms")
-        df = self.spark.read.option("basePath", base).parquet(base)
+        df = self._scan("terms")
         if "shard" in df.columns:
             df = df.drop("shard")
         return df.groupBy("term").agg(
@@ -124,7 +137,7 @@ class IndexHandle:
         with a single shard (no overlap possible) it is skipped entirely
         — no extra shuffle on the common fuzzy/contains path."""
         base = os.path.join(self.index_dir, "trigram_terms")
-        df = self.spark.read.option("basePath", base).parquet(base)
+        df = self._scan("trigram_terms")
         out = df.select("trigram", "term", "n_trigrams")
         try:
             n_shards = sum(
@@ -139,8 +152,7 @@ class IndexHandle:
         memoized per handle (absent terms cached as 0, never re-queried)."""
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
-            base = os.path.join(self.index_dir, "terms")
-            raw = self.spark.read.option("basePath", base).parquet(base)
+            raw = self._scan("terms")
             rows = (
                 raw.filter(F.col("term").isin(missing))
                 .groupBy("term")

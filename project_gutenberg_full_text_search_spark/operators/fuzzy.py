@@ -95,12 +95,80 @@ def fuzzy_search(
     k: int = 25,
     round_digits: int = 4,
 ) -> DataFrame:
-    """Top-k (doc_id, sim), deterministic (sim desc, doc_id asc)."""
-    return (
+    """Top-k (doc_id, sim), deterministic (sim desc, doc_id asc).
+
+    SIM-TIER EARLY EXIT (exact): a doc's score is its MAX token
+    similarity, so a doc whose only matching terms sit in a lower sim
+    tier can never outrank any doc found in a higher tier. The candidate
+    terms (≤ MAX_CANDIDATE_TERMS tiny rows) are collected once, grouped
+    by distinct sim descending, and only the shortest tier-prefix whose
+    cumulative df ≥ k is decoded — on identifier-heavy corpora a typo'd
+    hot word otherwise drags thousands of low-sim suffix variants'
+    postings through the decode (measured 50k docs: 1.57M postings, 2.4 s
+    → decode of the top tier alone). Σdf over-counts distinct docs, so if
+    the decode yields fewer than k rows the FULL candidate set is decoded
+    (exact fallback, rare). Tiers whose sim rounds to the same
+    ``round_digits`` value as the prefix floor are pulled in too — the
+    final ordering ties on the ROUNDED sim, and a boundary tier could
+    otherwise steal a tie from outside the prefix.
+
+    ``fuzzy_candidates`` (the count/pagination path) is untouched: totals
+    need every matching doc, so it always decodes the full set.
+    """
+    full = (
         fuzzy_candidates(handle, word, threshold, round_digits)
         .orderBy(F.desc("sim"), F.asc("doc_id"))
         .limit(k)
     )
+    cand = _capped_terms(handle, word, threshold).collect()
+    if not cand:
+        return full  # empty plan, keeps the schema
+    by_sim: dict[float, list[str]] = {}
+    for r in cand:
+        by_sim.setdefault(r["sim"], []).append(r["term"])
+    tiers = sorted(by_sim.items(), key=lambda t: -t[0])
+    dfs = handle.term_stats([r["term"] for r in cand])
+    chosen: list[tuple[str, float]] = []
+    cum_df = 0
+    floor_sim = None
+    for sim, terms in tiers:
+        if (
+            floor_sim is not None
+            and cum_df >= k
+            and round(sim, round_digits) != round(floor_sim, round_digits)
+        ):
+            break
+        chosen.extend((t, sim) for t in terms)
+        cum_df += sum(dfs.get(t, 0) for t in terms)
+        floor_sim = sim
+    if len(chosen) == len(cand):
+        return full  # prefix degenerated to everything — one job, not two
+    if len(chosen) <= 128:
+        # statically-pruned scan (tbucket isin + parquet term min/max) +
+        # literal sim map — measured ~0.7 s cheaper per query than the
+        # broadcast-join probe, whose runtime-filter subquery costs a
+        # near-constant overhead regardless of data size. The map literal
+        # stays tiny (≤128 pairs), so the plan-size concern that rules it
+        # out for unbounded candidate sets doesn't apply.
+        sim_map = F.create_map(
+            *[x for t, s in chosen for x in (F.lit(t), F.lit(float(s)))]
+        )
+        decoded = handle.decode([t for t, _ in chosen]).select(
+            "doc_id", sim_map.getItem(F.col("term")).alias("sim")
+        )
+    else:
+        sel = handle.spark.createDataFrame(chosen, "term string, sim double")
+        decoded = handle.decode_for(sel, _SIM_PAYLOAD)
+    pruned = (
+        decoded.groupBy("doc_id")
+        .agg(F.round(F.max("sim"), round_digits).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(k)
+    )
+    rows = pruned.collect()
+    if len(rows) >= k:
+        return handle.spark.createDataFrame(rows, pruned.schema)
+    return full  # Σdf over-counted joint docs — fall back to exact full scan
 
 
 def fuzzy_count(handle: IndexHandle, word: str, threshold: float = DEFAULT_SIM_THRESHOLD) -> int:

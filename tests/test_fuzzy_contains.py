@@ -126,3 +126,24 @@ def test_contains_broadcast_path_wide_vocab(wide_vocab_index, spark):
     assert cands is not None
     ids = {r["doc_id"] for r in cands.collect()}
     assert 1234 // 50 in ids
+
+
+def test_fuzzy_tier_fallback_large_k(handle, oracle):
+    """k larger than the tier-prefix coverage forces the exact full-scan
+    fallback — results must still be rank-identical to brute force."""
+    w = "indx"
+    exp = oracle.fuzzy(w, k=10**9)
+    k = len(exp) + 50  # more than every match → prefix can never cover k
+    got = fuzzy_search(handle, w, k=k).toPandas()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()[: len(got)]
+    assert len(got) == len(exp)
+
+
+def test_fuzzy_tier_boundary_rounding(handle, oracle):
+    """Mid-range k values that land on tier boundaries (where rounded
+    sims can tie) stay rank-identical to brute force."""
+    for k in (1, 3, 7, 40, 80):
+        got = fuzzy_search(handle, "querry", k=k).toPandas()
+        exp = oracle.fuzzy("querry", k=k)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), k
+        assert got["sim"].tolist() == pytest.approx(exp["sim"].tolist(), abs=1e-4)
