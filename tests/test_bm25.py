@@ -127,3 +127,30 @@ def test_blockagg_block_keys_dataframe_matches_list(handle, spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_postings_scan_partition_pruned_and_pushed(handle):
+    """The GIN-analog access path must survive in the physical plan: the
+    postings scan prunes to the query terms' tbucket PARTITIONS
+    (PartitionFilters) and pushes the term membership filter into the
+    parquet reader (PushedFilters → row-group min/max on the term-sorted
+    files). A plan that reads all partitions for a 2-term query has lost
+    the index."""
+    from project_gutenberg_full_text_search_spark.plans.parser import parse_websearch
+
+    from project_gutenberg_full_text_search_spark.operators.bm25 import (
+        bm25_candidates,
+    )
+
+    plan = (
+        bm25_candidates(handle, parse_websearch("merge query"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    i = plan.find("PartitionFilters: [")
+    assert i >= 0, "postings scan lost its partition filter"
+    pf = plan[i : plan.index("]", i) + 1]
+    assert "tbucket" in pf and " IN " in pf, pf
+    j = plan.find("PushedFilters: [")
+    assert j >= 0
+    pushed = plan[j : plan.index("]", j) + 1]
+    assert "In(term" in pushed, pushed
