@@ -112,3 +112,119 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _fake_frame(payload: bytes, idx: int) -> bytes:
+    """Deterministic stand-in for seeking+decoding frame ``idx``."""
+    return hashlib.sha256(payload + idx.to_bytes(8, "little")).digest()
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling: each video row EXPANDS into ``n_frames``
+    per-frame rows (evenly spaced) with per-frame features — the row-
+    explosion shape every video pipeline needs, done inside mapInPandas
+    so a partition of large videos streams through bounded Arrow batches
+    instead of materializing (video, frame) pairs JVM-side first.
+
+    The seek+decode of a real container format is the stubbed piece
+    (``fake=False`` raises, same contract as decode_stub); frame
+    payloads/features are deterministic functions of (payload, frame_idx)
+    so ordering/expansion/schema are fully testable.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video"]
+            if len(vids) == 0:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series([], dtype="int64"),
+                        "frame_idx": pd.Series([], dtype="int64"),
+                        "frame_payload": pd.Series([], dtype="object"),
+                        "features": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
+            ids, idxs, payloads, feats = [], [], [], []
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "video frame decode requires ffmpeg — not available "
+                        "in this container; pass fake=True for the "
+                        "deterministic test double"
+                    )
+                for j in range(n_frames):
+                    fp = _fake_frame(bytes(payload), j)
+                    ids.append(mid)
+                    idxs.append(j)
+                    payloads.append(fp)
+                    feats.append(_fake_features(fp).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_payload": payloads,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Image resize: binary-in → binary-out with the typed meta updated to
+    the new dimensions — the partition-preserving transform shape of
+    every image-normalization pass. The pixel work is the stubbed piece
+    (real impl streams each payload through PIL); the fake produces a
+    deterministic payload whose bytes derive from (payload, w, h), capped
+    at 4 KB so tests stay light.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for payload, mtype, meta in zip(
+                pdf["payload"], pdf["media_type"], pdf["meta"]
+            ):
+                if mtype != "image":
+                    out_payload.append(bytes(payload))
+                    out_meta.append(meta)
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize requires PIL — not available in this "
+                        "container; pass fake=True for the deterministic "
+                        "test double"
+                    )
+                seed = hashlib.sha256(
+                    bytes(payload) + f":{width}x{height}".encode()
+                ).digest()
+                n = min(width * height * 3, 4096)
+                out_payload.append((seed * (n // len(seed) + 1))[:n])
+                m = dict(meta) if meta is not None else {}
+                m["width"], m["height"] = str(width), str(height)
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=MEDIA_SCHEMA)

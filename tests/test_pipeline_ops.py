@@ -594,3 +594,43 @@ def test_hash_sample_deterministic_and_cross_engine(spark, documents, docs_pdf):
     # different seed → different sample
     c = sorted(r.doc_id for r in hash_sample(documents, 0.2, seed=8).select("doc_id").collect())
     assert c != a
+
+
+def test_sample_frames_expands_videos(spark):
+    media = multimodal.synthesize_media(spark, 30, seed=9)
+    frames = multimodal.sample_frames(media, n_frames=4).toPandas()
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    assert len(frames) == 4 * n_videos
+    # per-video: frame indices 0..3, deterministic distinct payloads
+    g = frames.groupby("media_id")
+    for mid, grp in g:
+        assert sorted(grp.frame_idx.tolist()) == [0, 1, 2, 3]
+        assert len({bytes(p) for p in grp.frame_payload}) == 4
+    # deterministic across runs
+    again = multimodal.sample_frames(media, n_frames=4).toPandas()
+    a = sorted(zip(frames.media_id, frames.frame_idx, map(bytes, frames.frame_payload)))
+    b = sorted(zip(again.media_id, again.frame_idx, map(bytes, again.frame_payload)))
+    assert a == b
+    # honest stub: real decode path raises
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.sample_frames(media, n_frames=2, fake=False).collect()
+
+
+def test_resize_images_updates_meta_only_for_images(spark):
+    media = multimodal.synthesize_media(spark, 30, seed=9)
+    out = multimodal.resize_images(media, 224, 224).toPandas()
+    src = media.toPandas()
+    assert len(out) == len(src)
+    for r, s in zip(
+        out.sort_values("media_id").itertuples(),
+        src.sort_values("media_id").itertuples(),
+    ):
+        if r.media_type == "image":
+            assert r.meta["width"] == "224" and r.meta["height"] == "224"
+            assert bytes(r.payload) != bytes(s.payload)
+            assert len(r.payload) == min(224 * 224 * 3, 4096)
+        else:  # non-images pass through untouched
+            assert bytes(r.payload) == bytes(s.payload)
+            assert r.meta == s.meta
+    with pytest.raises(Exception, match="PIL"):
+        multimodal.resize_images(media, 64, 64, fake=False).collect()
