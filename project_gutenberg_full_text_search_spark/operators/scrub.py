@@ -70,3 +70,24 @@ def scrub_count_sql(text_expr: str) -> list[str]:
         f"len(regexp_extract_all({text_expr}, '{pat}'))::BIGINT AS n_{name}"
         for name, pat, _ in SCRUB_RULES
     ]
+
+
+def scrub_py(text: str) -> str:
+    """Pure-Python twin (re.sub, same rules in the same order) — used by
+    the property tests to fuzz pattern portability across engines far
+    faster than a Spark job per example.
+
+    Cross-engine contract note: the three engines (Java regex / RE2 /
+    Python re) agree on these patterns for ASCII text. ``\\b`` semantics
+    differ around non-ASCII word characters (RE2's word boundary is
+    ASCII-only; Python's is unicode-aware), so redaction of digits
+    directly adjacent to non-ASCII letters may differ between engines —
+    the patterns avoid every other divergent construct by design
+    (no lookaround, no backreferences, greedy quantifiers only).
+    """
+    import re
+
+    out = text
+    for _, pat, repl in SCRUB_RULES:
+        out = re.sub(pat, repl, out)
+    return out

@@ -3,3 +3,7 @@ from project_gutenberg_full_text_search_spark.streaming.incremental import (  # 
     refresh_derived,
     stream_refresh,
 )
+from project_gutenberg_full_text_search_spark.streaming.operators import (  # noqa: F401
+    stream_dedup_exact,
+    windowed_rollup,
+)

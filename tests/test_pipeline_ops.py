@@ -634,3 +634,39 @@ def test_resize_images_updates_meta_only_for_images(spark):
             assert r.meta == s.meta
     with pytest.raises(Exception, match="PIL"):
         multimodal.resize_images(media, 64, 64, fake=False).collect()
+
+
+def test_scrub_patterns_portable_property():
+    """Hypothesis fuzz: the scrub rules produce IDENTICAL redactions in
+    Python re and DuckDB RE2 over adversarial ASCII text (boundary
+    digits, partial emails, scheme fragments, dotted runs). The Spark
+    (Java regex) side is pinned to DuckDB by the batch test above; this
+    property closes the triangle cheaply at hundreds of examples."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from project_gutenberg_full_text_search_spark.operators import scrub
+
+    con = duckdb.connect()
+    frag = st.sampled_from(
+        [
+            "a@b.io", "x@", "@y.com", "http://", "https://e.com/p?q=1",
+            "1.2.3.4", "999.999.1.1", "1.2.3.4.5", ".", "..", "@",
+            " ", "\t", "\n", "word", "a1b2", "%+-", "e.co.uk", ":",
+        ]
+    )
+    text_strategy = st.lists(
+        st.one_of(frag, st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=8)),
+        max_size=12,
+    ).map("".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(text_strategy)
+    def check(text):
+        exp = con.execute(
+            f"SELECT {scrub.scrub_sql('t')} AS c FROM (SELECT ? AS t)", [text]
+        ).fetchone()[0]
+        assert scrub.scrub_py(text) == exp, repr(text)
+
+    check()
