@@ -476,7 +476,6 @@ def canonical_docs(
     smallest doc_id; docs in no cluster survive untouched. One broadcast-
     or AQE-sized left join against the cluster table (cluster-graph sized,
     tiny relative to the corpus)."""
-    keep = clusters.filter(F.col("doc_id") == F.col("cluster")).select("doc_id")
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
     return docs.select(F.col(id_col).alias("doc_id")).join(
         dropped, "doc_id", "left_anti"

@@ -9,9 +9,10 @@ oracle): a doc matches iff some *token* of the doc has padded-trigram
 Jaccard similarity ≥ threshold with the query word; the doc's score is the
 max such similarity. Default threshold 0.3 (pg_trgm similarity_threshold).
 
-Execution is pure distributed DataFrame algebra — nothing is collected to
-the driver (GIN/GiST index probes never touch the client either,
-mv_books_dc.sql:472-487):
+Execution is distributed DataFrame algebra; the only driver-side state is
+vocabulary-bounded (the capped candidate term list that ``fuzzy_search``
+collects for its sim-tier early exit — ≤ MAX_CANDIDATE_TERMS tiny rows;
+the count path collects nothing):
 
 1. query word → padded trigram set Q (driver-side literal, tiny and fixed)
 2. ``trigram_terms`` (vocabulary-sized) filtered to Q → per candidate term
@@ -114,6 +115,11 @@ def fuzzy_search(
 
     ``fuzzy_candidates`` (the count/pagination path) is untouched: totals
     need every matching doc, so it always decodes the full set.
+
+    NOTE: unlike the engine's lazy operators this function MATERIALIZES
+    eagerly (the tier decision needs the candidate list and the pruned
+    row count before it can promise exactness); callers composing a lazy
+    plan should use ``fuzzy_candidates`` + their own ordering instead.
     """
     full = (
         fuzzy_candidates(handle, word, threshold, round_digits)
