@@ -306,14 +306,28 @@ def build_field_indexes(
     fp_row = None
     if input_fingerprint is None and resume:
         cols = sorted({_FIELD_TEXT[f] for f in fields})
+        # Two order-independent combines per column: bit_xor alone lets
+        # identical duplicate rows cancel pairwise ({A,A,B} ≡ {C,C,B}),
+        # so a wrapping SUM of the same hashes — duplicate-sensitive,
+        # never cancelling — is folded in alongside it.
         fp_row = mv.select(
             F.count(F.lit(1)).alias("n"),
             *[
-                # bit_xor: order-independent combine, overflow-free under ANSI
-                F.bit_xor(
-                    F.xxhash64(F.col("doc_id"), F.coalesce(F.col(c), F.lit("")))
-                ).alias(f"h_{c}")
+                expr
                 for c in cols
+                for expr in (
+                    F.bit_xor(
+                        F.xxhash64(F.col("doc_id"), F.coalesce(F.col(c), F.lit("")))
+                    ).alias(f"h_{c}"),
+                    F.sum(
+                        # decimal(38,0): |hash| ≤ 2^63 ≈ 10^19, so the sum
+                        # stays in range up to ~10^19 rows — no ANSI
+                        # overflow at any realistic corpus size
+                        F.xxhash64(
+                            F.col("doc_id"), F.coalesce(F.col(c), F.lit(""))
+                        ).cast("decimal(38,0)")
+                    ).alias(f"s_{c}"),
+                )
             ],
         ).first()
     for fld in fields:
@@ -322,7 +336,7 @@ def build_field_indexes(
         fp = input_fingerprint
         if fp is None:
             fp = (
-                f"field:{col}:{fp_row['n']}:{fp_row[f'h_{col}']}"
+                f"field:{col}:{fp_row['n']}:{fp_row[f'h_{col}']}:{fp_row[f's_{col}']}"
                 if fp_row is not None
                 else f"field:{col}"
             )

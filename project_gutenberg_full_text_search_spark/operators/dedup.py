@@ -414,7 +414,7 @@ def neardup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list →
     (doc_id, cluster) where cluster = the smallest doc_id reachable.
@@ -429,13 +429,28 @@ def neardup_clusters(
     convergence check rides the same aggregation via max(changed) — no
     extra comparison join per round. Only nodes that APPEAR IN PAIRS are
     returned (singleton docs need no clustering — see canonical_docs).
+
+    ALWAYS runs to convergence by default (``max_iter=None``) — each
+    round is cheap at pair-graph scale, and a silently-unconverged label
+    set would let canonical_docs keep several survivors from one group.
+    High-diameter graphs (a chain of near-dups) are safe on two counts:
+    the label DataFrame is ``localCheckpoint``-ed every few rounds so
+    lineage (hence Catalyst analysis time and driver memory) stays O(1)
+    in round count, and an explicitly bounded run (``max_iter=N``) that
+    exits still-changing RAISES instead of returning wrong labels.
     """
+    # diameter ≤ node count, so propagation provably converges within it;
+    # this cap only trips on a convergence-check bug, never on data.
+    _HARD_CAP = 1_000_000
+    _CHECKPOINT_EVERY = 5
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
     )
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    sym = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()  # every round joins sym — compute the edge set once
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -443,7 +458,9 @@ def neardup_clusters(
         .persist()
     )
     labels.count()  # materialize so each round builds on a computed base
-    for _ in range(max_iter):
+    rounds = max_iter if max_iter is not None else _HARD_CAP
+    changed = True
+    for i in range(rounds):
         neigh = sym.join(
             labels, sym["b"] == labels["id"], "inner"
         ).select(sym["a"].alias("id"), "label")
@@ -457,13 +474,27 @@ def neardup_clusters(
                 F.col("new_label").alias("label"),
                 (F.col("new_label") != F.col("old_label")).alias("_chg"),
             )
-            .persist()
         )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            # truncate lineage: without this every round's plan chains
+            # onto the last and Catalyst analysis itself becomes the
+            # bottleneck on high-diameter graphs
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = new_labels.agg(F.max("_chg")).first()[0]
         labels.unpersist()
         labels = new_labels.drop("_chg")
         if not changed:
             break
+    sym.unpersist()
+    if changed:
+        raise RuntimeError(
+            f"neardup_clusters did not converge within max_iter={rounds} "
+            "rounds — labels are NOT component minima and canonical_docs "
+            "would keep extra survivors; raise max_iter (or pass None to "
+            "run to convergence)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 

@@ -72,12 +72,43 @@ def write_json(path: str, obj: dict) -> None:
         out.write(bytearray(json.dumps(obj, indent=1, sort_keys=True).encode()))
     finally:
         out.close()
-    # HDFS rename won't clobber: drop the old file first. Both steps are
-    # metadata ops; the WRITE itself never targets the live path, so a
-    # reader either sees the old complete file or the new complete file.
+    # Publish via FileContext.rename(..., Rename.OVERWRITE): a single
+    # atomic metadata op on HDFS-like filesystems — a concurrent reader
+    # sees the old complete file or the new complete file, never a torn
+    # write and never a missing path.  (FileSystem.rename won't clobber,
+    # and delete-then-rename opens a window where the destination is
+    # absent and read_json returns None → resume would redo work.)
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dest.toUri(), hconf
+        )
+        ren = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        ren[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, dest, ren)
+        return
+    except Exception:
+        # Fallback for filesystems without a FileContext implementation
+        # (AbstractFileSystem unregistered for the scheme, e.g. some
+        # object-store connectors). Delete-then-rename is NOT atomic: a
+        # concurrent reader can observe the destination missing between
+        # the two ops.  Single-writer builds (the actual usage — one
+        # driver owns an index dir) are unaffected; rename failure is
+        # checked so a lost publish can never pass silently.
+        pass
     if fs.exists(dest):
         fs.delete(dest, False)
-    fs.rename(tmp, dest)
+    if not fs.rename(tmp, dest):
+        raise RuntimeError(
+            f"metadata publish failed: rename({tmp}, {dest}) returned false; "
+            "the previous manifest was deleted — rebuild or re-run the write"
+        )
 
 
 def read_json(path: str) -> dict | None:

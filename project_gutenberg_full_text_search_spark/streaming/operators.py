@@ -77,7 +77,7 @@ def windowed_rollup(
 _DEDUP_STATE = T.StructType([T.StructField("count", T.LongType())])
 
 
-def _dedup_out_schema(df: DataFrame, hash_col: str) -> T.StructType:
+def _dedup_out_schema(df: DataFrame) -> T.StructType:
     return T.StructType(
         list(df.schema.fields) + [T.StructField("batch_dupes", T.LongType())]
     )
@@ -87,6 +87,7 @@ def stream_dedup_exact(
     stream_df: DataFrame,
     text_col: str = "text",
     hash_col: str = "_content_hash",
+    order_col: str | None = "doc_id",
 ) -> DataFrame:
     """First-occurrence filter over a stream, keyed by content hash.
 
@@ -96,23 +97,44 @@ def stream_dedup_exact(
     sight). Re-occurrences in later batches are suppressed entirely — the
     per-key state (occurrence count) survives in the checkpointed state
     store across batches and restarts.
+
+    Survivor choice within a micro-batch is DETERMINISTIC: row order
+    inside a shuffled group is not stable across runs/restarts, so the
+    survivor is the row with the smallest ``order_col`` (doc_id by
+    default) among the batch's duplicates — reruns of the same input emit
+    the same rows.  Pass ``order_col=None`` only when no stable key
+    exists; the survivor's non-key columns are then arbitrary per run
+    (first physical row).
     """
     hashed = stream_df.withColumn(hash_col, F.md5(F.col(text_col)))
-    out_schema = _dedup_out_schema(hashed, hash_col)
+    out_schema = _dedup_out_schema(hashed)
+    if order_col is not None and order_col not in hashed.columns:
+        raise ValueError(
+            f"order_col {order_col!r} not in stream columns {hashed.columns}; "
+            "pass order_col=None to accept an arbitrary within-batch survivor"
+        )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (count,) = state.get if state.exists else (0,)
-        first_rows = None
+        best = None  # (order key, single-row frame)
         batch_n = 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            if count == 0 and first_rows is None:
-                first_rows = pdf.iloc[[0]].copy()
+            if count == 0:
+                if order_col is None:
+                    if best is None:
+                        best = (None, pdf.iloc[[0]].copy())
+                else:
+                    i = pdf[order_col].idxmin()
+                    k = pdf[order_col].loc[i]
+                    if best is None or k < best[0]:
+                        best = (k, pdf.loc[[i]].copy())
             batch_n += len(pdf)
-        if first_rows is not None:
+        if best is not None:
+            first_rows = best[1]
             first_rows["batch_dupes"] = batch_n - 1
             yield first_rows
         state.update((count + batch_n,))

@@ -618,6 +618,34 @@ def test_field_index_fingerprint_tracks_data(spark, dims, tmp_path):
     assert h2.stats["N"] < n1
 
 
+def test_field_index_fingerprint_duplicate_rows_do_not_cancel(spark, tmp_path):
+    """bit_xor alone lets identical duplicate rows cancel pairwise, so
+    {A,A,B} and {C,C,B} used to collide → stale resume. The derived
+    fingerprint now also folds in a duplicate-sensitive SUM of the same
+    hashes, so the two inputs get distinct fingerprints (ADVICE r4)."""
+    import os
+
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.api import build_field_indexes
+    from project_gutenberg_full_text_search_spark.operators.bm25 import IndexHandle
+
+    base = str(tmp_path / "fidx_dup")
+    # xor(h(1,'aa'), h(1,'aa'), h(2,'bb')) == xor(h(3,'cc'), h(3,'cc'), h(2,'bb'))
+    mv1 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 1, 2], "title": ["aa", "aa", "bb"]})
+    )
+    mv2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [3, 3, 2], "title": ["cc", "cc", "bb"]})
+    )
+    build_field_indexes(spark, mv1, base, fields=(SearchField.TITLE,))
+    fp1 = IndexHandle.open(spark, os.path.join(base, "title")).stats["fingerprint"]
+    build_field_indexes(spark, mv2, base, fields=(SearchField.TITLE,))
+    h2 = IndexHandle.open(spark, os.path.join(base, "title"))
+    assert h2.stats["fingerprint"] != fp1  # rebuild happened, not a resume
+    assert h2.term_stats(["cc"]).get("cc")  # index reflects mv2's content
+
+
 def test_language_enum_full_reference_parity():
     """All 70 (code, label) pairs of the reference Language enum
     (reference search/constants.py:73-150) — the full surface, hardcoded

@@ -34,6 +34,23 @@ def test_json_roundtrip_file_uri(spark, tmp_path):
     assert fsio.read_json(p) == {"a": 2}
     # and the bytes actually landed under the local dir the URI names
     assert os.path.exists(str(tmp_path / "meta" / "stats.json"))
+    # the publish consumed the temp file (rename, not copy-and-forget):
+    # a left-behind .tmp would mean the atomic path silently failed
+    assert not os.path.exists(str(tmp_path / "meta" / "stats.json.tmp"))
+
+
+def test_write_json_overwrite_never_leaves_dest_missing(spark, tmp_path):
+    """Atomic-publish contract: overwriting an existing manifest keeps
+    the destination continuously readable — the FileContext OVERWRITE
+    rename replaces in one metadata op (no delete-then-rename window
+    where read_json would see 'no manifest' and redo work, ADVICE r4)."""
+    p = f"file:{tmp_path}/m/manifest.json"
+    fsio.write_json(p, {"epoch": 1})
+    for epoch in range(2, 6):
+        fsio.write_json(p, {"epoch": epoch})
+        got = fsio.read_json(p)
+        assert got is not None and got["epoch"] == epoch
+    assert not os.path.exists(str(tmp_path / "m" / "manifest.json.tmp"))
 
 
 def test_listdir_isdir_rmtree_file_uri(spark, tmp_path):

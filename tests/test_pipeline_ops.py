@@ -552,6 +552,35 @@ def test_neardup_clusters_components(spark):
     }
 
 
+def test_neardup_clusters_high_diameter_path_graph(spark):
+    """A 50-node path graph (diameter 49 — far beyond the old 20-round
+    default) must still converge: the default runs to convergence with
+    periodic localCheckpoint lineage truncation (VERDICT r4 #2)."""
+    import pandas as pd
+
+    n = 50
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    got = dedup.neardup_clusters(pairs).toPandas()
+    assert len(got) == n
+    assert set(got.cluster) == {0}  # every node reaches the minimum label
+
+
+def test_neardup_clusters_bounded_run_raises_when_unconverged(spark):
+    """An explicit max_iter that exits still-changing must FAIL LOUDLY —
+    silently-unconverged labels would let canonical_docs keep several
+    survivors from one duplicate group (ADVICE r4)."""
+    import pandas as pd
+
+    n = 12
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters(pairs, max_iter=2)
+
+
 def test_canonical_docs_keeps_one_per_cluster(spark):
     import pandas as pd
 

@@ -327,3 +327,57 @@ def test_stream_dedup_exact_state_across_batches(spark, tmp_path):
     final = spark.read.parquet(out).toPandas().sort_values("doc_id")
     assert sorted(final.text.tolist()) == ["xxx", "yyy", "zzz"]
     assert final[final.text == "zzz"].batch_dupes.iloc[0] == 0
+
+
+def test_stream_dedup_survivor_deterministic(spark, tmp_path):
+    """Within-batch survivor choice is the MIN order_col row, not the
+    physically-first row of a shuffled group: reruns of the same input
+    emit identical rows (ADVICE r4)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from project_gutenberg_full_text_search_spark.streaming.operators import (
+        stream_dedup_exact,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    # duplicates arrive with ids OUT of order; survivor must be min id
+    rows = [(9, "aaa"), (2, "aaa"), (5, "aaa"), (7, "bbb")]
+    for run in range(2):
+        src = str(tmp_path / f"src{run}")
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), schema=schema
+        ).repartition(4).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup_exact(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out{run}"))
+            .option("checkpointLocation", str(tmp_path / f"ck{run}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(str(tmp_path / f"out{run}")).toPandas()
+        assert dict(zip(got.text, got.doc_id)) == {"aaa": 2, "bbb": 7}
+        assert dict(zip(got.text, got.batch_dupes)) == {"aaa": 2, "bbb": 0}
+
+
+def test_stream_dedup_order_col_validated(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from project_gutenberg_full_text_search_spark.streaming.operators import (
+        stream_dedup_exact,
+    )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    os.makedirs(str(tmp_path / "none"), exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "none"))
+    with pytest.raises(ValueError, match="order_col"):
+        stream_dedup_exact(stream)  # default doc_id absent → loud
+    # explicit opt-out accepted (arbitrary survivor, documented)
+    stream_dedup_exact(stream, order_col=None)
