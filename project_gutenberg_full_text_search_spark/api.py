@@ -41,6 +41,7 @@ from project_gutenberg_full_text_search_spark.operators import facets as _facets
 from project_gutenberg_full_text_search_spark.operators.bm25 import (
     IndexHandle,
     bm25_candidates,
+    bm25_match_docs,
 )
 from project_gutenberg_full_text_search_spark.operators.contains import (
     contains_candidates,
@@ -482,6 +483,53 @@ class FullTextSearch:
             df = df.filter(pred)
         return df, rank_col
 
+    def _apply_search_membership(
+        self, base: DataFrame, txt: str, fld: SearchField, st: SearchType
+    ) -> DataFrame:
+        """Membership-only twin of ``_apply_search`` for COUNT plans: same
+        match set, NO ranking — FTS joins ``bm25_match_docs`` (no score
+        column anywhere, asserted by test_count_plan_has_no_scoring),
+        CONTAINS skips the cosmetic BM25 rank join entirely. FUZZY's
+        similarity IS its membership threshold, so that computation
+        stays; only the rank projection is dropped."""
+        handle = self._handle_for(fld)
+        text_col = _FIELD_TEXT[fld]
+        if st == SearchType.FTS:
+            if handle is None:
+                raise ValueError(f"no FTS index for field {fld}")
+            pq = parse_websearch(txt)
+            if not pq.clauses and pq.neg_terms:
+                neg_dfs = handle.term_stats(pq.neg_terms)
+                present = [t for t in pq.neg_terms if neg_dfs.get(t)]
+                if present:
+                    neg = handle.decode(present).select("doc_id").distinct()
+                    base = base.join(neg, "doc_id", "left_anti")
+                return base
+            return base.join(bm25_match_docs(handle, pq), "doc_id", "left_semi")
+        if st == SearchType.FUZZY:
+            if handle is not None:
+                sims = fuzzy_candidates(handle, txt).select("doc_id")
+                return base.join(sims, "doc_id", "left_semi")
+            df, rank_col = self._apply_search(base, txt, fld, st)
+            return df.drop(rank_col)
+        # CONTAINS: trigram prefilter + verify only — no rank join
+        verify = F.contains(F.lower(F.col(text_col)), F.lit(txt.lower()))
+        if handle is not None:
+            cands = contains_candidates(handle, txt)
+            if cands is not None:
+                base = base.join(cands, "doc_id", "left_semi")
+        return base.filter(verify)
+
+    def _membership(self, q: SearchQuery) -> DataFrame:
+        """All matches with filters applied, membership-only (no rank
+        columns computed anywhere in the plan)."""
+        df = self.mv
+        for txt, fld, st in q._search:
+            df = self._apply_search_membership(df, txt, fld, st)
+        for pred in q._filter:
+            df = df.filter(pred)
+        return df
+
     def _order_exprs(self, q: SearchQuery, rank_col: str | None) -> list[Column]:
         d = q._sort_dir
         o = q._order
@@ -574,8 +622,12 @@ class FullTextSearch:
         }
 
     def count(self, q: SearchQuery) -> int:
-        df, _ = self._candidates(q)
-        return df.count()
+        """Membership-only COUNT (VERDICT r4 #1): the standalone count
+        never computes BM25 scores — same match set as ``execute``'s
+        total, cheaper plan. ``execute`` itself keeps the scoring
+        candidates (it needs them for the page anyway, persisted across
+        COUNT+fetch — a single scoring pass)."""
+        return self._membership(q).count()
 
     def get(self, doc_id: int, crosswalk: Crosswalk = Crosswalk.FULL) -> dict | None:
         """Single-doc fetch. The reference README documents fts.get()

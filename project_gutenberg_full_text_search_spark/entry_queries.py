@@ -258,9 +258,14 @@ def build_registry():
     reg("fts_page2", _fts_query("merge", k=10, offset=10), _bm25_oracle("merge", k=10, offset=10))
 
     def fts_count(spark, sf_dir):
+        # membership-only count plan — no score column (VERDICT r4 #1)
+        from project_gutenberg_full_text_search_spark.operators.bm25 import (
+            bm25_match_docs,
+        )
+
         h = _index_for(spark, sf_dir)
         return (
-            bm25_candidates(h, parse_websearch("merge query"))
+            bm25_match_docs(h, parse_websearch("merge query"))
             .agg(F.count("*").alias("cnt"))
         )
 

@@ -742,8 +742,62 @@ def bm25_topk(
     return ranked
 
 
+def bm25_match_docs(handle: IndexHandle, pq: ParsedQuery) -> DataFrame:
+    """MEMBERSHIP-ONLY matching doc set: (doc_id), one row per match.
+
+    The count/fast-count plan (VERDICT r4 #1): a COUNT needs the boolean/
+    phrase semantics of ``bm25_candidates`` but none of its scoring — this
+    plan decodes the query terms' postings and evaluates
+    ``_clause_predicate`` with NO score column anywhere (asserted by
+    tests/test_dsl.py::test_count_plan_has_no_scoring). Same pruning as
+    the scoring path: tbucket partition pruning + parquet term min/max via
+    ``blocks_for``, positions decoded only when a phrase clause needs
+    them, and required-term absence short-circuits to an empty result
+    without touching the postings at all.
+    """
+    terms = pq.positive_terms
+    if not terms:
+        raise ValueError("empty positive query")
+    dfs = handle.term_stats(terms)
+    present = {t for t in terms if dfs.get(t)}
+    empty = handle.spark.createDataFrame([], "doc_id bigint")
+    if not present:
+        return empty
+    # short-circuit unsatisfiable queries before any decode: a term
+    # clause's term or any phrase token absent from the index → no doc
+    # can match; an OR clause needs at least one present term
+    for c in pq.clauses:
+        need = c.terms if c.kind in ("term", "phrase") else []
+        if any(t not in present for t in need):
+            return empty
+        if c.kind == "or" and not any(t in present for t in c.terms):
+            return empty
+    needs_pos = any(c.kind == "phrase" for c in pq.clauses)
+    decoded = handle.decode(sorted(present), with_positions=needs_pos)
+    aggs = [F.collect_set("term").alias("matched")]
+    if needs_pos:
+        aggs.append(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("posmap")
+        )
+    matched = (
+        decoded.groupBy("doc_id")
+        .agg(*aggs)
+        .filter(_clause_predicate(pq))
+        .select("doc_id")
+    )
+    if pq.neg_terms:
+        neg_dfs = handle.term_stats(pq.neg_terms)
+        neg_present = [t for t in pq.neg_terms if neg_dfs.get(t)]
+        if neg_present:
+            neg_docs = handle.decode(neg_present).select("doc_id").distinct()
+            matched = matched.join(neg_docs, "doc_id", "left_anti")
+    return matched
+
+
 def bm25_count(handle: IndexHandle, query: str | ParsedQuery) -> int:
     """Match count (the reference's two-query execute: COUNT then fetch,
-    full_text_search.py:316-330)."""
+    full_text_search.py:316-330) — membership-only plan, no scoring."""
     pq = parse_websearch(query) if isinstance(query, str) else query
-    return bm25_candidates(handle, pq).count()
+    return bm25_match_docs(handle, pq).count()
