@@ -701,28 +701,12 @@ def bm25_topk_pruned_candidates(
     return bm25_candidates_blockagg(handle, pq, k1, b, block_keys=survivors)
 
 
-def bm25_topk(
-    handle: IndexHandle,
-    query: str | ParsedQuery,
-    k: int = 25,
-    offset: int = 0,
-    round_digits: int = 4,
-    prune: bool | None = None,
+def _rank_limit(
+    cands: DataFrame, k: int, offset: int, round_digits: int
 ) -> DataFrame:
-    """Top-k (doc_id, score) — deterministic (score desc, doc_id asc).
-
-    prune=None (default) → UNPRUNED: block-max pruning measured slower at
-    every posting mass this engine can generate (see PRUNE_MIN_POSTINGS
-    comment + BASELINE.md); the default path already prunes via tbucket
-    partitions, parquet term min/max, and exact AND block-range
-    intersection. prune=True forces the block-max path (exact, tested).
-    """
-    pq = parse_websearch(query) if isinstance(query, str) else query
-    use_prune = bool(prune)
-    if use_prune and len(pq.positive_terms) + len(pq.neg_terms) <= 62:
-        cands = bm25_topk_pruned_candidates(handle, pq, offset + k)
-    else:
-        cands = bm25_candidates(handle, pq)
+    """Shared ranking tail: round → (score desc, doc_id asc) → page slice.
+    Used identically by the full path and the champion fast path so both
+    produce row-for-row the same result for the same candidate scores."""
     ranked = (
         cands.withColumn("score", F.round(F.col("score"), round_digits))
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -740,6 +724,49 @@ def bm25_topk(
             .drop("_rn")
         )
     return ranked
+
+
+def bm25_topk(
+    handle: IndexHandle,
+    query: str | ParsedQuery,
+    k: int = 25,
+    offset: int = 0,
+    round_digits: int = 4,
+    prune: bool | None = None,
+    champions: bool | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) — deterministic (score desc, doc_id asc).
+
+    champions=None (default) → AUTO: when the index carries a champion
+    side table consistent with the live stats and the query has a
+    provably-exact champion plan (single hot term within the boundary
+    certificate, or all terms' lists complete — operators/champions.py),
+    serve from it: one partition-pruned scan of ≤ C·|terms| side-table
+    rows instead of decoding the full posting lists. champions=False
+    disables. Exactness is structural (certificate or complete lists), so
+    the result is row-identical to the full path either way.
+
+    prune=None (default) → UNPRUNED: block-max pruning measured slower at
+    every posting mass this engine can generate (see PRUNE_MIN_POSTINGS
+    comment + BASELINE.md); the default path already prunes via tbucket
+    partitions, parquet term min/max, and exact AND block-range
+    intersection. prune=True forces the block-max path (exact, tested).
+    """
+    pq = parse_websearch(query) if isinstance(query, str) else query
+    use_prune = bool(prune)
+    if champions is not False and not use_prune:
+        from project_gutenberg_full_text_search_spark.operators.champions import (
+            champion_topk,
+        )
+
+        served = champion_topk(handle, pq, k, offset, round_digits)
+        if served is not None:
+            return served
+    if use_prune and len(pq.positive_terms) + len(pq.neg_terms) <= 62:
+        cands = bm25_topk_pruned_candidates(handle, pq, offset + k)
+    else:
+        cands = bm25_candidates(handle, pq)
+    return _rank_limit(cands, k, offset, round_digits)
 
 
 def bm25_match_docs(handle: IndexHandle, pq: ParsedQuery) -> DataFrame:

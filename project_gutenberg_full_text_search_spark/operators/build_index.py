@@ -401,6 +401,7 @@ def build_index(
     resume: bool = True,
     with_positions: bool = True,
     input_fingerprint: str | None = None,
+    with_champions: bool = True,
 ) -> dict:
     """Build the full index; returns the stats dict.
 
@@ -436,10 +437,13 @@ def build_index(
         # reached on fingerprint/format mismatch — a resumed
         # same-fingerprint build skips this branch, so shard-level resume
         # manifests stay effective.
-        for sub in ("norms", "postings", "terms", "trigram_terms", "_norms_stats"):
+        for sub in ("norms", "postings", "terms", "trigram_terms", "_norms_stats", "champions"):
             p = os.path.join(index_dir, sub)
             if fsio.isdir(p):
                 fsio.rmtree(p)
+        # _champions.json is not deleted here: the serve gate matches its
+        # fingerprint/N/avgdl against the new stats.json, so a stale meta
+        # can never serve; build_champions overwrites it below.
         derived_stale = True
         norms = build_norms(docs, text_col)
         # the corpus stats ride the write (Observation) and land in a
@@ -588,6 +592,29 @@ def build_index(
     if wrote_terms or "n_terms" not in stats:
         merged = spark.read.option("basePath", terms_root).parquet(terms_root)
         stats["n_terms"] = merged.select("term").distinct().count()
+
+    # ---- champion lists (hot-term top-k fast path) ----
+    # rebuilt whenever any postings shard was (re)built this run or the
+    # side table is missing/inconsistent; a resumed no-op build skips it.
+    # Incremental refreshes do NOT rebuild champions — the serve gate in
+    # operators/champions.py compares (N, avgdl) and auto-falls-back
+    # until build_champions is re-run.
+    if with_champions:
+        from project_gutenberg_full_text_search_spark.operators.champions import (
+            build_champions,
+            CHAMP_FORMAT,
+        )
+
+        cmeta = read_json(os.path.join(index_dir, "_champions.json"))
+        champs_fresh = (
+            cmeta is not None
+            and cmeta.get("format") == CHAMP_FORMAT
+            and cmeta.get("fingerprint") == fingerprint
+            and cmeta.get("N") == stats["N"]
+            and cmeta.get("avgdl") == stats["avgdl"]
+        )
+        if derived_stale or built_shards or not champs_fresh:
+            build_champions(spark, index_dir)
     stats["build_seconds"] = round(time.time() - t0, 3)
     write_json(stats_path, stats)
     write_json(
