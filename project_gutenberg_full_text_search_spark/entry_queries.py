@@ -1073,6 +1073,72 @@ def build_registry():
            FROM events GROUP BY 1, 2""",
     )
 
+    # ---- stateful streaming exact-dedup, oracled (VERDICT r4 #5) ----
+    # Runs the REAL applyInPandasWithState operator under
+    # trigger(availableNow) over a file stream of documents plus
+    # deterministic synthetic duplicates (every 7th doc re-emitted under
+    # doc_id+1_000_000), then returns the sunk result as a batch frame.
+    # maxFilesPerTrigger is set above the file count so the whole input
+    # lands in ONE micro-batch — that makes batch_dupes a pure function
+    # of the data (count(hash)-1 on the survivor) and the DuckDB
+    # first-occurrence twin exact: survivor = min doc_id per content
+    # hash (the operator's deterministic order_col choice).
+    def stream_dedup_q(spark, sf_dir):
+        import tempfile
+
+        from project_gutenberg_full_text_search_spark.streaming.operators import (
+            stream_dedup_exact,
+        )
+
+        docs = _documents(spark, sf_dir).select("doc_id", "text")
+        src = docs.unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000)
+            )
+        )
+        root = tempfile.mkdtemp(prefix="pgfts_streamdd_")
+        in_dir = os.path.join(root, "in")
+        out_dir = os.path.join(root, "out")
+        src.write.mode("overwrite").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1_000_000)
+            .parquet(in_dir)
+        )
+        q = (
+            stream_dedup_exact(stream, "text", order_col="doc_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).select(
+            "doc_id",
+            F.col("_content_hash").alias("content_hash"),
+            "batch_dupes",
+        )
+
+    reg(
+        "stream_dedup_exact",
+        stream_dedup_q,
+        """WITH src AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+           ),
+           r AS (
+             SELECT doc_id, md5(text) AS content_hash,
+                    count(*) OVER (PARTITION BY md5(text)) AS n,
+                    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM src
+           )
+           SELECT doc_id::BIGINT AS doc_id, content_hash,
+                  (n - 1)::BIGINT AS batch_dupes
+           FROM r WHERE rn = 1""",
+    )
+
     # ---- PII/URL scrubbing (training-data redaction pass) ----
     def scrub_q(spark, sf_dir):
         from project_gutenberg_full_text_search_spark.operators import scrub
