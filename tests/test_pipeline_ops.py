@@ -292,6 +292,61 @@ def test_multimodal_decode_stub_raises(spark):
         multimodal.extract_features(media, fake=False).collect()
 
 
+def test_real_decoder_seam_used_when_present(spark, monkeypatch):
+    """Injecting a 'real' decoder at the auto-detect seam is enough for
+    fake=False to use it — resolution is driver-side so the patched
+    callable rides the mapInPandas closure to the workers."""
+    marker = [float(i) + 0.5 for i in range(multimodal.FEATURE_DIM)]
+    monkeypatch.setitem(
+        multimodal._REAL_DECODERS, "image", lambda payload: marker
+    )
+    monkeypatch.setitem(multimodal._REAL_DECODERS, "audio", lambda p: marker)
+    monkeypatch.setitem(multimodal._REAL_DECODERS, "video", lambda p: marker)
+    media = multimodal.synthesize_media(spark, 6)
+    feats = multimodal.extract_features(media, fake=False).toPandas()
+    assert len(feats) == 6
+    assert all(list(f) == marker for f in feats.features)
+
+
+def test_real_decoder_seam_frames_and_resize(spark, monkeypatch):
+    monkeypatch.setitem(
+        multimodal._REAL_DECODERS,
+        "video_frames",
+        lambda payload, n: [b"frame%d" % j for j in range(n)],
+    )
+    monkeypatch.setitem(multimodal._REAL_DECODERS, "image", None)
+    media = multimodal.synthesize_media(spark, 6)
+    frames = multimodal.sample_frames(media, n_frames=3, fake=False).toPandas()
+    vids = media.filter("media_type = 'video'").count()
+    assert len(frames) == vids * 3
+    assert set(bytes(p) for p in frames.frame_payload) == {
+        b"frame0", b"frame1", b"frame2"
+    }
+    # feature decoder absent → deterministic fake features of the frames
+    assert all(len(f) == multimodal.FEATURE_DIM for f in frames.features)
+
+    monkeypatch.setitem(
+        multimodal._REAL_DECODERS,
+        "image_resize",
+        lambda payload, w, h: b"resized:%dx%d" % (w, h),
+    )
+    out = multimodal.resize_images(media, 32, 16, fake=False).toPandas()
+    imgs = out[out.media_type == "image"]
+    assert all(bytes(p) == b"resized:32x16" for p in imgs.payload)
+    others = out[out.media_type != "image"]
+    orig = media.toPandas().set_index("media_id")
+    assert all(
+        bytes(p) == bytes(orig.loc[m, "payload"])
+        for m, p in zip(others.media_id, others.payload)
+    )
+
+
+def test_probe_caches_absent_decoders():
+    multimodal._REAL_DECODERS.pop("audio", None)
+    assert multimodal._probe_real_decoder("audio") is None  # no librosa here
+    assert "audio" in multimodal._REAL_DECODERS  # probed once, cached
+
+
 def test_media_stats(spark):
     media = multimodal.synthesize_media(spark, 30)
     st = multimodal.media_stats(media).toPandas()
