@@ -376,12 +376,12 @@ def build_registry():
     def facet_lang_of_matches(spark, sf_dir):
         h = _index_for(spark, sf_dir)
         docs = _documents(spark, sf_dir)
-        cands = bm25_candidates(h, parse_websearch("merge query"))
-        top = (
-            cands.orderBy(F.desc(F.round("score", 4)), F.asc("doc_id"))
-            .limit(100)
-            .select("doc_id")
-        )
+        # bm25_topk (not a hand-rolled sort over bm25_candidates): same
+        # (round(score,4) desc, doc_id) top-100 semantics, but the topk
+        # entrypoint auto-serves from champion lists when the query has an
+        # exact champion plan — the facet then costs ONE side-table scan
+        # plus the join/groupBy instead of a full posting decode.
+        top = bm25_topk(h, "merge query", k=100).select("doc_id")
         return (
             docs.join(F.broadcast(top), "doc_id", "left_semi")
             .groupBy("lang")

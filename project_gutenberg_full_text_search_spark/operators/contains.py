@@ -38,6 +38,7 @@ MAX_PREFILTER_TERMS = 50_000
 _GS_PAYLOAD = T.StructType(
     [T.StructField("gs", T.ArrayType(T.StringType()), False)]
 )
+_MASK_PAYLOAD = T.StructType([T.StructField("gmask", T.LongType(), False)])
 
 
 def _query_trigrams(q: str) -> set[str]:
@@ -76,8 +77,27 @@ def contains_candidates(handle: IndexHandle, q: str) -> DataFrame | None:
     if sum(dfmap[g] for g in gset) > MAX_PREFILTER_TERMS:
         return None
     matched = handle.trigram_terms().filter(F.col("trigram").isin(gset))
-    # term → its matched query trigrams; a doc qualifies iff for EVERY
-    # query trigram it contains at least one term carrying that trigram.
+    # A doc qualifies iff for EVERY query trigram it contains at least one
+    # term carrying that trigram. Coverage is tracked as a BITMASK (query
+    # trigram i → bit i, folded per term then bit_or'd per doc): one
+    # map-side-combinable aggregation per groupBy, where the former
+    # count_distinct formulation planned a two-exchange distinct aggregate
+    # and shuffled one row per (doc, trigram) instead of one long per doc.
+    if len(gset) <= 62:
+        bit = F.create_map(
+            *[x for i, g in enumerate(gset) for x in (F.lit(g), F.lit(1 << i))]
+        )
+        cand = matched.groupBy("term").agg(
+            F.bit_or(bit[F.col("trigram")]).alias("gmask")
+        )
+        decoded = handle.decode_for(cand, _MASK_PAYLOAD)
+        return (
+            decoded.groupBy("doc_id")
+            .agg(F.bit_or("gmask").alias("m"))
+            .filter(F.col("m") == (1 << len(gset)) - 1)
+            .select("doc_id")
+        )
+    # >62 distinct query trigrams (a very long query): array formulation
     cand = matched.groupBy("term").agg(
         F.array_sort(F.collect_set("trigram")).alias("gs")
     )

@@ -21,20 +21,20 @@ LANG_MARKERS: dict[str, list[str]] = {
 EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "is", "in", "it", "on", "for"]
 
 
-def token_count_cols(text_col: str) -> list[Column]:
+def token_count_cols(text_col: str, toks: Column | None = None) -> list[Column]:
     """Whitespace token count + identifier-regex token count."""
     ws = F.size(F.array_remove(F.split(F.col(text_col), r"\s+"), ""))
-    ident = F.size(tokens_col(text_col))
+    ident = F.size(tokens_col(text_col) if toks is None else toks)
     return [ws.alias("ws_tokens"), ident.alias("ident_tokens")]
 
 
-def quality_cols(text_col: str) -> list[Column]:
+def quality_cols(text_col: str, toks: Column | None = None) -> list[Column]:
     """Length / punctuation-ratio / stopword-ratio quality features + score.
 
     score = clamp01( 0.4·len_ok + 0.3·(1 − punct_ratio) + 0.3·stop_ratio )
     where len_ok = 1 if 20 ≤ n_tokens ≤ 10000.
     """
-    toks = tokens_col(text_col)
+    toks = tokens_col(text_col) if toks is None else toks
     n = F.size(toks)
     n_chars = F.length(text_col)
     punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
@@ -63,13 +63,13 @@ def quality_cols(text_col: str) -> list[Column]:
     ]
 
 
-def langid_cols(text_col: str) -> list[Column]:
+def langid_cols(text_col: str, toks: Column | None = None) -> list[Column]:
     """Heuristic language ID: distinct-token overlap with marker sets.
 
     predicted = lang with the max overlap count; ties broken by lang code
     ascending (deterministic, oracle-matched).
     """
-    dtoks = F.array_distinct(tokens_col(text_col))
+    dtoks = F.array_distinct(tokens_col(text_col) if toks is None else toks)
     scores = {
         lang: F.size(F.array_intersect(dtoks, F.array(*[F.lit(m) for m in ms])))
         for lang, ms in sorted(LANG_MARKERS.items())
@@ -83,20 +83,35 @@ def langid_cols(text_col: str) -> list[Column]:
     return out + [pred.alias("lang_pred")]
 
 
-def fingerprint_col(text_col: str) -> Column:
+def fingerprint_col(text_col: str, toks: Column | None = None) -> Column:
     """Deterministic content fingerprint: md5 of the sorted distinct token
     set (robust to token order / duplication — a cheap near-dup key)."""
     return F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col(text_col))))
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(tokens_col(text_col) if toks is None else toks)
+            ),
+        )
     )
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass profile: all analysis columns together."""
-    return df.select(
-        F.col(id_col),
-        *token_count_cols(text_col),
-        *quality_cols(text_col),
-        *langid_cols(text_col),
-        fingerprint_col(text_col).alias("fingerprint"),
+    """One-pass profile: all analysis columns together.
+
+    Tokenization is MATERIALIZED once into an intermediate column and
+    every feature expression references it: several of the features sit
+    inside higher-order-function lambdas (filter/array_intersect), which
+    fall outside whole-stage codegen's subexpression elimination — left
+    implicit, the regex tokenizer would re-run per feature per row (~6×)."""
+    toks = F.col("_toks")
+    return (
+        df.withColumn("_toks", tokens_col(text_col))
+        .select(
+            F.col(id_col),
+            *token_count_cols(text_col, toks),
+            *quality_cols(text_col, toks),
+            *langid_cols(text_col, toks),
+            fingerprint_col(text_col, toks).alias("fingerprint"),
+        )
     )
