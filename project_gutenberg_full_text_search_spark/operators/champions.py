@@ -322,13 +322,22 @@ def champion_topk(
     single = (
         len(pq.clauses) == 1
         and pq.clauses[0].kind == "term"
-        and not present_neg
         and len(present_pos) == 1
     )
     complete = all(min_df <= dfs[t] <= C for t in present_pos + present_neg)
+    neg_complete = all(min_df <= dfs[t] <= C for t in present_neg)
     if single and not complete:
+        # Single positive term, any df ≥ min_df, possibly with negations.
+        # Exact iff every negated term's list is COMPLETE (we see all its
+        # docs) and K + Σdf_neg ≤ C: removing at most Σdf_neg docs from
+        # the positive term's top-C cannot pull rank > C rows into the
+        # top-K, so the boundary certificate survives the negation.
         t = present_pos[0]
-        if dfs[t] < min_df or K > C:
+        if (
+            dfs[t] < min_df
+            or not neg_complete
+            or K + sum(dfs[n] for n in present_neg) > C
+        ):
             return None
     elif not complete:
         return None

@@ -104,6 +104,37 @@ def test_incomplete_multi_term_never_serves(champ_index):
         assert CH.champion_topk(h, parse_websearch(q), k=5) is None, q
 
 
+def test_hot_with_complete_negation_serves_exactly(champ_index):
+    """Single hot positive term + negations whose lists are COMPLETE:
+    removing ≤ Σdf_neg docs from the positive top-C cannot pull rank > C
+    rows into the top-K when K + Σdf_neg ≤ C, so serving stays exact."""
+    h = champ_index
+    df_map = {r.term: r.df for r in h.terms().collect()}
+    hot = max(df_map, key=df_map.get)
+    negs = sorted(t for t, d in df_map.items() if 20 <= d <= 40 and t != hot)
+    assert negs, "need a complete-band negation term"
+    q = f"{hot} -{negs[0]}"
+    served = CH.champion_topk(h, parse_websearch(q), k=5)
+    assert served is not None, q
+    assert rows(served) == rows(bm25_topk(h, q, k=5, champions=False)), q
+
+
+def test_hot_negation_overflow_falls_back(champ_index):
+    """K + Σdf_neg > C: the removals could eat past the boundary
+    certificate — must fall back, never approximate."""
+    h = champ_index
+    df_map = {r.term: r.df for r in h.terms().collect()}
+    hot = max(df_map, key=df_map.get)
+    negs = sorted(
+        (t for t, d in df_map.items() if 20 <= d <= 50 and t != hot),
+        key=lambda t: -df_map[t],
+    )
+    assert negs
+    # k chosen so k + df_neg exceeds C=50
+    k = 50 - df_map[negs[0]] + 1
+    assert CH.champion_topk(h, parse_websearch(f"{hot} -{negs[0]}"), k=k) is None
+
+
 def test_phrase_and_overflow_never_serve(champ_index):
     h = champ_index
     assert CH.champion_topk(h, parse_websearch('"table scan"'), k=5) is None
