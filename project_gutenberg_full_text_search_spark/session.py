@@ -45,7 +45,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast decisions are AQE-ONLY: the static planner's file-size
+        # estimates pick the wrong build side exactly when it matters
+        # (measured here: a 600k-row fact table statically chosen as the
+        # hashed-relation build side over a 37k-row filtered dim-join
+        # output, ~1.5x the query's wall; at cluster scale the same
+        # mis-estimate is an executor OOM). With the static threshold off,
+        # joins plan as shuffles and AQE converts to broadcast from the
+        # REAL materialized sizes — the estimate-vs-reality gap that bit
+        # the blockagg semi-join in round 4 (bm25.py:390-404) cannot
+        # recur, and explicit F.broadcast hints still apply unchanged.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         # Text pipelines do ~100× more work per scanned byte than plain SQL
         # (tokenize, hash, encode), so the default 128 MB file bin-packing
         # yields a handful of scan tasks on compressed text and starves the
