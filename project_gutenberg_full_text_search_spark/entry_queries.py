@@ -32,6 +32,7 @@ from project_gutenberg_full_text_search_spark.functions.text import (
 )
 from project_gutenberg_full_text_search_spark.operators import (
     dedup,
+    ivf,
     similarity,
     textstats,
 )
@@ -824,6 +825,74 @@ def build_registry():
             WHERE bit_count(xor(b.bucket, qb.bucket)) <= 4
             ORDER BY cos DESC, vec_id ASC LIMIT 5""",
     )
+
+    # ---- IVF ANN (second scale path: Voronoi cells + nprobe pruning) ----
+    # seeded data-independent quantizer for the oracle entries; the trained
+    # (k-means) quantizer is data-dependent and pytest-verified instead
+    # (tests/test_pipeline_ops.py::test_ivf_trained_centroids_*)
+    _IVF_C = ivf.seeded_centroids(64, 16, ivf.DEFAULT_IVF_SEED)
+    _ivf_b = ivf.ivf_cell_select_sql("embeddings", "vec_id", "embedding", _IVF_C)
+    # the query's probe ranking, derived independently in SQL: one chained-
+    # sum dot per centroid (bit-identical to query_probe_cells' Python
+    # reduce), ranked (dot DESC, cell ASC), top nprobe
+    _ivf_qd = " UNION ALL ".join(
+        f"SELECT {i} AS cell, ({ivf.ivf_dot_sql('q.qv', row)}) AS d FROM q"
+        for i, row in enumerate(_IVF_C)
+    )
+
+    def ivf_cells(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return ivf.with_ivf_cell(
+            emb, "embedding", _IVF_C, "cell", method="expr"
+        ).select("vec_id", "cell")
+
+    reg(
+        "ann_ivf_cells",
+        ivf_cells,
+        f"SELECT vec_id, cell FROM ({_ivf_b})",
+    )
+
+    def ivf_top5(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return ivf.ann_ivf_topk(
+            emb,
+            _qvec(spark, sf_dir),
+            k=5,
+            centroids=_IVF_C,
+            nprobe=4,
+            method="expr",
+        )
+
+    _ivf_probe_sql = f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            b AS ({_ivf_b}),
+            qd AS ({_ivf_qd}),
+            probe AS (SELECT cell FROM qd ORDER BY d DESC, cell ASC LIMIT 4)
+            SELECT b.vec_id AS vec_id, {_cosq} AS cos
+            FROM b, q
+            WHERE b.cell IN (SELECT cell FROM probe)
+            ORDER BY cos DESC, vec_id ASC LIMIT 5"""
+
+    reg("ann_ivf_top5", ivf_top5, _ivf_probe_sql)
+
+    # persisted cell-partitioned IVF index probe (partition-pruned read;
+    # same math as ann_ivf_top5 but served from a write_ivf_index artifact)
+    def ivf_index_probe(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        path = os.path.join(
+            os.environ.get("PGFTS_INDEX_CACHE", "/tmp/pgfts_index_cache"),
+            f"ivf_{tag}",
+        )
+        with _IDX_LOCK:
+            if not os.path.exists(os.path.join(path, "_ivf_meta.json")):
+                ivf.write_ivf_index(
+                    emb, path, dim=64, centroids=_IVF_C, method="expr"
+                )
+        return ivf.ann_ivf_index_topk(
+            spark, path, _qvec(spark, sf_dir), k=5, nprobe=4
+        )
+
+    reg("ann_ivf_index_top5", ivf_index_probe, _ivf_probe_sql)
 
     # ---- text analysis ----
     def tp(spark, sf_dir):

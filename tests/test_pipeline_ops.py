@@ -14,7 +14,13 @@ from project_gutenberg_full_text_search_spark.functions.hashing import (
     minhash_hash_py,
 )
 from project_gutenberg_full_text_search_spark.functions.text import tokenize_str
-from project_gutenberg_full_text_search_spark.operators import dedup, multimodal, similarity, textstats
+from project_gutenberg_full_text_search_spark.operators import (
+    dedup,
+    ivf,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 
 @pytest.fixture(scope="module")
@@ -515,6 +521,141 @@ def test_write_ann_index_rejects_wrong_dim(spark, tmp_path):
         similarity.write_ann_index(
             emb, str(tmp_path / "bad_pd"), dim=48, nbits=8, method="pandas"
         )
+
+
+# ---- IVF ANN (the second scale path: trained Voronoi cells) ----
+
+def test_ivf_seeded_centroids_deterministic_unit():
+    a = ivf.seeded_centroids(64, 16, 42)
+    b = ivf.seeded_centroids(64, 16, 42)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+    assert not np.array_equal(a, ivf.seeded_centroids(64, 16, 43))
+
+
+def test_ivf_cell_cross_engine(emb_pdf):
+    """DuckDB's generated cell-assignment SELECT must match the pure-Python
+    twin bit-for-bit (chained-sum dots, lowest-index tie-break)."""
+    import duckdb
+
+    C = ivf.seeded_centroids(64, 16, 42)
+    con = duckdb.connect()
+    con.register("embeddings", emb_pdf)
+    sql = ivf.ivf_cell_select_sql("embeddings", "vec_id", "embedding", C)
+    duck = {vid: cell for vid, _v, cell in con.execute(sql).fetchall()}
+    for r in emb_pdf.itertuples(index=False):
+        assert duck[r.vec_id] == ivf.ivf_cell_py(list(r.embedding), C)
+
+
+def test_ivf_cell_spark_expr_matches_python(embeddings, emb_pdf):
+    C = ivf.seeded_centroids(64, 16, 42)
+    got = dict(
+        ivf.with_ivf_cell(embeddings, "embedding", C, "c", method="expr")
+        .select("vec_id", "c")
+        .collect()
+    )
+    for r in emb_pdf.itertuples(index=False):
+        assert got[r.vec_id] == ivf.ivf_cell_py(list(r.embedding), C)
+
+
+def test_ivf_cell_pandas_matches_expr(embeddings):
+    """Matmul-argmax and fold-expression assignment agree away from ties
+    (numpy argmax and array_position both break ties to the lowest cell)."""
+    C = ivf.seeded_centroids(64, 16, 42)
+    via_expr = dict(
+        ivf.with_ivf_cell(embeddings, "embedding", C, "c", method="expr")
+        .select("vec_id", "c")
+        .collect()
+    )
+    via_pd = dict(
+        ivf.with_ivf_cell(embeddings, "embedding", C, "c", method="pandas")
+        .select("vec_id", "c")
+        .collect()
+    )
+    agree = sum(via_expr[k] == via_pd[k] for k in via_expr)
+    assert agree >= 0.99 * len(via_expr)
+
+
+def test_ivf_full_probe_is_exact(embeddings, emb_pdf):
+    """nprobe == nlist must return EXACTLY cosine_topk — the cell plumbing
+    adds no approximation of its own (no lost or duplicated rows)."""
+    q = [float(x) for x in emb_pdf[emb_pdf.vec_id == 0].embedding.iloc[0]]
+    exact = similarity.cosine_topk(embeddings, q, k=10).collect()
+    full = ivf.ann_ivf_topk(embeddings, q, k=10, nlist=16, nprobe=16).collect()
+    assert [(r.vec_id, r.cos) for r in exact] == [(r.vec_id, r.cos) for r in full]
+
+
+def test_ivf_trained_centroids_deterministic_and_recall(spark):
+    """Training is a pure function of (input, args) — two runs agree
+    bit-for-bit — and on a clustered corpus a 4-of-16 probe keeps
+    recall@10 ≥ 0.9 vs exact cosine."""
+    emb, q = _clustered_emb(spark, dim=32, n=500)
+    C1 = ivf.train_centroids(emb, dim=32, nlist=16, seed=11)
+    C2 = ivf.train_centroids(emb, dim=32, nlist=16, seed=11)
+    assert np.array_equal(C1, C2)
+    assert C1.shape == (16, 32)
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)
+    exact = similarity.cosine_topk(emb, q.tolist(), k=10).toPandas()
+    approx = ivf.ann_ivf_topk(
+        emb, q.tolist(), k=10, centroids=C1, nprobe=4
+    ).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.9, recall
+
+
+def test_ivf_highdim_uses_mapinpandas(spark):
+    """At production dims the assignment must be ONE numpy matmul-argmax in
+    mapInPandas, not a Catalyst tree past the codegen budget."""
+    emb, q = _clustered_emb(spark, dim=1536, n=300)
+    C = ivf.seeded_centroids(1536, 64, 42)
+    celled = ivf.with_ivf_cell(emb, "embedding", C)
+    assert "MapInPandas" in celled._jdf.queryExecution().executedPlan().toString()
+    exact = similarity.cosine_topk(emb, q.tolist(), k=10).toPandas()
+    approx = ivf.ann_ivf_topk(
+        emb, q.tolist(), k=10, centroids=C, nprobe=16
+    ).toPandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.9, recall
+
+
+def test_persisted_ivf_index_partition_pruned(spark, tmp_path):
+    """write_ivf_index → ann_ivf_index_topk must scan ONLY the nprobe
+    probed cell partitions (checked via input_file_name of the probed
+    scan), and the centroid matrix must round-trip through the metadata."""
+    emb, q = _clustered_emb(spark, dim=32, n=500)
+    C = ivf.train_centroids(emb, dim=32, nlist=16, seed=11)
+    path = str(tmp_path / "ivf_idx")
+    meta = ivf.write_ivf_index(emb, path, dim=32, centroids=C)
+    assert np.array_equal(np.asarray(meta["centroids"]), C)
+    df, m = ivf.read_ivf_index(spark, path)
+    assert np.array_equal(np.asarray(m["centroids"]), C)
+
+    probes = set(ivf.query_probe_cells(q.tolist(), C, 4))
+    probed = df.filter(F.col("cell").isin(list(probes)))
+    files = [r[0] for r in probed.select(F.input_file_name()).distinct().collect()]
+    assert files, "probe read no files"
+    for fpath in files:
+        mm = re.search(r"cell=(\d+)", fpath)
+        assert mm and int(mm.group(1)) in probes, fpath
+
+    topk = ivf.ann_ivf_index_topk(spark, path, q.tolist(), k=10, nprobe=4).toPandas()
+    exact = similarity.cosine_topk(emb, q.tolist(), k=10).toPandas()
+    recall = len(set(exact.vec_id) & set(topk.vec_id)) / 10
+    assert recall >= 0.9, recall
+
+
+def test_ivf_dim_validation(spark, tmp_path):
+    """Wrong-length vectors fail LOUDLY on both assignment paths, and a
+    wrong-dim query is rejected before any scan."""
+    emb, q = _clustered_emb(spark, dim=32, n=40)
+    with pytest.raises(Exception, match="dim"):
+        ivf.write_ivf_index(emb, str(tmp_path / "bad_expr"), dim=48, nlist=8, method="expr")
+    with pytest.raises(Exception, match="dim"):
+        ivf.write_ivf_index(emb, str(tmp_path / "bad_pd"), dim=48, nlist=8, method="pandas")
+    path = str(tmp_path / "ok")
+    ivf.write_ivf_index(emb, path, dim=32, nlist=8)
+    with pytest.raises(ValueError, match="dim"):
+        ivf.ann_ivf_index_topk(spark, path, [0.0] * 48, k=5)
 
 
 # ---- scrubbing / clustering / sampling (training-data pipeline ops) ----
