@@ -68,6 +68,43 @@ def test_contains_prefilter_is_sound_and_tight(handle, small_corpus):
     assert len(cand_ids) < 300
 
 
+def test_contains_coverage_beats_trigram_union(spark, tmp_path):
+    """The prefilter requires a single term to cover ALL of a fragment's
+    trigrams — a doc whose tokens each carry only one of the query's
+    trigrams (the per-trigram union would admit it) must be excluded
+    BEFORE the exact verify, while a doc with a covering token stays."""
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.operators.build_index import (
+        build_index,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            # doc 1: "mergers" covers fragment "merge" (mer+erg+rge in one
+            # token); doc 2 scatters the same trigrams across three tokens
+            # (merit→mer, ergo→erg, barge→rge) — no covering term
+            "content": ["the mergers completed", "merit ergo barge talk"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    d = str(tmp_path / "cov_idx")
+    build_index(spark, docs, d, n_shards=1, input_fingerprint="cov2")
+    h = IndexHandle.open(spark, d)
+    cand_ids = {r["doc_id"] for r in contains_candidates(h, "merge").collect()}
+    assert cand_ids == {1}
+    got = sorted(
+        r["doc_id"]
+        for r in contains_search(h, docs, "merge").select("doc_id").collect()
+    )
+    exp = sorted(
+        r["doc_id"]
+        for r in contains_naive(docs, "merge").select("doc_id").collect()
+    )
+    assert got == exp == [1]
+
+
 def test_contains_short_query_falls_back(handle, small_corpus):
     got = contains_search(handle, small_corpus, "xy")
     exp = contains_naive(small_corpus, "xy")
