@@ -25,6 +25,7 @@ from project_gutenberg_full_text_search_spark.functions.hashing import (
     MINHASH_MOD,
     md5_long_sql,
     minhash_lane_consts,
+    seeded_hash_sql,
 )
 from project_gutenberg_full_text_search_spark.functions.text import (
     TOKEN_SPLIT_RE,
@@ -1299,6 +1300,78 @@ def build_registry():
         sample_q,
         f"""SELECT doc_id, lang, n_chars FROM documents
             WHERE {hash_sample_sql('doc_id', 0.1, 7)}""",
+    )
+
+    # ---- stratified sampling (training-mix carving: per-group rates/caps) ----
+    _STRAT_FRACS = {"en": 0.05, "zh": 0.4}
+
+    def strat_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators.etl import (
+            stratified_sample,
+        )
+
+        return stratified_sample(
+            _documents(spark, sf_dir), "lang", _STRAT_FRACS, default=0.2, seed=11
+        ).select("doc_id", "lang")
+
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        stratified_sample_sql,
+    )
+
+    reg(
+        "sample_stratified_lang",
+        strat_q,
+        f"""SELECT doc_id, lang FROM documents
+            WHERE {stratified_sample_sql('lang', 'doc_id', _STRAT_FRACS, 0.2, 11)}""",
+    )
+
+    def cap_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators.etl import (
+            group_cap_sample,
+        )
+
+        return group_cap_sample(
+            _documents(spark, sf_dir), "lang", 7, seed=11
+        ).select("doc_id", "lang")
+
+    reg(
+        "sample_group_cap",
+        cap_q,
+        f"""SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY {seeded_hash_sql("doc_id::VARCHAR", 11)}, doc_id) <= 7""",
+    )
+
+    # ---- benchmark-contamination detection (n-token shingle overlap vs a
+    # reference set; ref = every 97th doc standing in for a test split) ----
+    def contam_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators.contamination import (
+            ngram_overlap,
+        )
+
+        docs = _documents(spark, sf_dir, spread=True)
+        ref = docs.filter(F.col("doc_id") % 97 == 0)
+        rest = docs.filter(F.col("doc_id") % 97 != 0)
+        return ngram_overlap(rest, ref, n=3, text_col="text")
+
+    reg(
+        "contam_ngram_hits",
+        contam_q,
+        f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' ')))
+                ELSE [] END) AS s
+              FROM t),
+            h AS (SELECT doc_id, {md5_long_sql('s')} AS sh_h FROM sh),
+            ref AS (SELECT DISTINCT sh_h FROM h WHERE doc_id % 97 = 0)
+            SELECT h.doc_id AS doc_id, count(*)::BIGINT AS n_overlap
+            FROM h JOIN ref USING (sh_h)
+            WHERE h.doc_id % 97 <> 0
+            GROUP BY h.doc_id""",
     )
 
     return queries, oracles

@@ -189,3 +189,92 @@ def hash_sample_sql(id_expr: str, fraction: float, seed: int = 42) -> str:
         f"({seeded_hash_sql(f'{id_expr}::VARCHAR', seed)} % 1000000)"
         f" < {int(round(fraction * 1_000_000))}"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group deterministic hash sampling — the training-mix carver.
+
+    Each group keeps its own fraction (unlisted groups keep `default`),
+    decided by the same engine-portable md5 hash as `hash_sample`, so the
+    result is reproducible, retry/repartition-stable, and cross-table
+    aligned by id. The per-row threshold is a literal CASE on the group
+    column — zero shuffle, zero join: a pure codegen'd filter that
+    partition-prunes like any other predicate. This is how a 100 TB
+    corpus gets re-weighted into a training mix (downsample the dominant
+    language, keep all of a rare one) in a single scan.
+    """
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_col,
+    )
+
+    thresh = None
+    for g, frac in sorted(fractions.items()):
+        v = F.lit(int(round(frac * 1_000_000)))
+        cond = F.col(group_col) == F.lit(g)
+        thresh = F.when(cond, v) if thresh is None else thresh.when(cond, v)
+    default_lit = F.lit(int(round(default * 1_000_000)))
+    thresh = default_lit if thresh is None else thresh.otherwise(default_lit)
+    h = seeded_hash_col(F.col(id_col).cast("string"), seed)
+    return df.filter((h % 1_000_000) < thresh)
+
+
+def stratified_sample_sql(
+    group_expr: str,
+    id_expr: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 42,
+) -> str:
+    """DuckDB predicate selecting the identical stratified sample."""
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_sql,
+    )
+
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(round(frac * 1_000_000))}"
+        for g, frac in sorted(fractions.items())
+    )
+    case = f"(CASE {group_expr} {whens} ELSE {int(round(default * 1_000_000))} END)"
+    return f"({seeded_hash_sql(f'{id_expr}::VARCHAR', seed)} % 1000000) < {case}"
+
+
+def group_cap_sample(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most `cap` rows per group, chosen by deterministic hash
+    rank (row_number over the group ordered by (md5 hash, id)).
+
+    Exact and reproducible: the survivors are a pure function of row
+    content, not of task order, so retries/repartitioning cannot change
+    them, and the same cap on two engines picks the same rows (DuckDB
+    twin: QUALIFY row_number() OVER (PARTITION BY g ORDER BY hash, id)
+    <= cap). One shuffle keyed by the group column; a group lands in a
+    single task, so for groups ≫ cap at corpus scale pre-thin with
+    `stratified_sample`/`hash_sample` first (the cap stays exact over
+    the thinned set) or prefer pure-fraction stratification, which never
+    shuffles.
+    """
+    from pyspark.sql import Window
+
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_col,
+    )
+
+    h = seeded_hash_col(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -895,3 +895,165 @@ def test_scrub_patterns_portable_property():
         assert scrub.scrub_py(text) == exp, repr(text)
 
     check()
+
+
+# ---- stratified sampling ----
+
+
+def test_stratified_sample_matches_per_row_hash(spark, documents, docs_pdf):
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_py,
+    )
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        stratified_sample,
+    )
+
+    fracs = {"en": 0.05, "zh": 0.4}
+    got = {
+        r.doc_id
+        for r in stratified_sample(
+            documents, "lang", fracs, default=0.2, seed=11
+        ).collect()
+    }
+    exp = {
+        int(r.doc_id)
+        for _, r in docs_pdf.iterrows()
+        if seeded_hash_py(str(r.doc_id), 11) % 1_000_000
+        < int(fracs.get(r.lang, 0.2) * 1_000_000)
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_stratified_sample_stable_under_repartition(spark, documents):
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        stratified_sample,
+    )
+
+    fracs = {"en": 0.1}
+    a = {
+        r.doc_id
+        for r in stratified_sample(documents, "lang", fracs, 0.3, seed=3).collect()
+    }
+    b = {
+        r.doc_id
+        for r in stratified_sample(
+            documents.repartition(17), "lang", fracs, 0.3, seed=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_group_cap_sample_exact_and_deterministic(spark, documents, docs_pdf):
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_py,
+    )
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        group_cap_sample,
+    )
+
+    cap = 7
+    out = group_cap_sample(documents, "lang", cap, seed=11).collect()
+    sizes = Counter(r.lang for r in out)
+    full = Counter(docs_pdf.lang)
+    for lang, n_full in full.items():
+        assert sizes[lang] == min(cap, n_full)
+    # survivors are exactly the cap lowest (hash, id) rows per group
+    exp: set[int] = set()
+    for lang in full:
+        grp = docs_pdf[docs_pdf.lang == lang]
+        ranked = sorted(
+            (seeded_hash_py(str(d), 11), int(d)) for d in grp.doc_id
+        )
+        exp |= {d for _, d in ranked[:cap]}
+    assert {r.doc_id for r in out} == exp
+    # repartition-stable
+    again = {
+        r.doc_id
+        for r in group_cap_sample(
+            documents.repartition(13), "lang", cap, seed=11
+        ).collect()
+    }
+    assert again == exp
+
+
+def test_group_cap_keeps_small_groups_whole(spark):
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        group_cap_sample,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6), "g": ["a"] * 5 + ["b"]})
+    )
+    out = group_cap_sample(df, "g", 10).collect()
+    assert len(out) == 6
+
+
+# ---- contamination (n-gram overlap vs a reference set) ----
+
+
+def test_ngram_overlap_exact_counts(spark):
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.operators.contamination import (
+        ngram_overlap,
+    )
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "content": ["the quick brown fox jumps"]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "content": [
+                    # full copy: shingles {tqb, qbf, bfj} all shared → 3
+                    "the quick brown fox jumps",
+                    # one shared trigram ("quick brown fox")
+                    "a quick brown fox sleeps",
+                    # same words, different order → no shared 3-gram
+                    "fox brown quick the jumps",
+                    # too short for a trigram
+                    "quick brown",
+                ],
+            }
+        )
+    )
+    got = {r.doc_id: r.n_overlap for r in ngram_overlap(docs, ref, n=3).collect()}
+    assert got == {1: 3, 2: 1}
+
+
+def test_ngram_overlap_counts_distinct_shingles_once(spark):
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.operators.contamination import (
+        ngram_overlap,
+    )
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "content": ["alpha beta gamma"]})
+    )
+    # the shared shingle appears twice in the doc → still counts once
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1], "content": ["alpha beta gamma delta alpha beta gamma"]}
+        )
+    )
+    got = {r.doc_id: r.n_overlap for r in ngram_overlap(docs, ref, n=3).collect()}
+    assert got == {1: 1}
+
+
+def test_ngram_overlap_min_overlap_threshold(spark, documents):
+    from project_gutenberg_full_text_search_spark.operators.contamination import (
+        ngram_overlap,
+    )
+
+    ref = documents.filter(F.col("doc_id") % 97 == 0)
+    rest = documents.filter(F.col("doc_id") % 97 != 0)
+    all_hits = ngram_overlap(rest, ref, n=3, text_col="text").collect()
+    thresh = ngram_overlap(
+        rest, ref, n=3, text_col="text", min_overlap=3
+    ).collect()
+    exp = {r.doc_id for r in all_hits if r.n_overlap >= 3}
+    assert {r.doc_id for r in thresh} == exp and len(exp) < len(all_hits)
