@@ -1343,6 +1343,29 @@ def build_registry():
               ORDER BY {seeded_hash_sql("doc_id::VARCHAR", 11)}, doc_id) <= 7""",
     )
 
+    # ---- token-budget shard packing (training-data shard assignment) ----
+    def pack_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators.etl import (
+            pack_token_budget,
+        )
+
+        return pack_token_budget(
+            _documents(spark, sf_dir), budget=500, text_col="text",
+            n_buckets=8, seed=11,
+        )
+
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        pack_token_budget_sql,
+    )
+
+    reg(
+        "pack_token_shards",
+        pack_q,
+        pack_token_budget_sql(
+            "documents", 500, f"len({_TOKS})", n_buckets=8, seed=11
+        ),
+    )
+
     # ---- benchmark-contamination detection (n-token shingle overlap vs a
     # reference set; ref = every 97th doc standing in for a test split) ----
     def contam_q(spark, sf_dir):

@@ -278,3 +278,86 @@ def group_cap_sample(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic fixed-token-budget shard packing.
+
+    Training-data prep ends with "write shards of ~N tokens each". This
+    assigns every doc a (bucket, pack_id): docs hash into `n_buckets`
+    independent streams, and within a bucket (ordered by id) a doc joins
+    pack p when its cumulative token count lands in (p·budget,
+    (p+1)·budget] — a window prefix-sum, so a pack closes as soon as the
+    running total crosses the budget (packs overshoot by at most one
+    doc, never undershoot by more than the next doc's length).
+
+    Scale shape: the only shuffle is the window's partition-by-bucket —
+    each bucket is a 1/n_buckets slice of the corpus, so no single-task
+    bottleneck (a GLOBAL order-by window would serialize the corpus
+    through one reducer); raise n_buckets to keep slices executor-sized.
+    Deterministic and engine-portable end to end: bucket is the md5 hash
+    of the id, order is the id, token count is the tokenizer's — the
+    DuckDB twin reproduces every pack assignment bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_col,
+    )
+    from project_gutenberg_full_text_search_spark.functions.text import doc_len_col
+
+    bucket = (seeded_hash_col(F.col(id_col).cast("string"), seed) % n_buckets).cast(
+        "int"
+    )
+    with_cols = df.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        doc_len_col(text_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    pack = F.floor((F.greatest(cum, F.lit(1)) - 1) / budget).cast("long")
+    return with_cols.withColumn("pack_id", pack)
+
+
+def pack_token_budget_sql(
+    table: str,
+    budget: int,
+    toks_len_expr: str,
+    id_expr: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin producing identical (bucket, pack_id) assignments."""
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_sql,
+    )
+
+    h = seeded_hash_sql(f"{id_expr}::VARCHAR", seed)
+    return f"""
+WITH b AS (
+  SELECT {id_expr} AS doc_id,
+         ({h} % {n_buckets})::INT AS bucket,
+         ({toks_len_expr})::BIGINT AS n_tokens
+  FROM {table}
+),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+)
+SELECT doc_id, bucket, n_tokens,
+       floor((greatest(cum, 1) - 1) / {budget})::BIGINT AS pack_id
+FROM c"""

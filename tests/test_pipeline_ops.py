@@ -1057,3 +1057,85 @@ def test_ngram_overlap_min_overlap_threshold(spark, documents):
     ).collect()
     exp = {r.doc_id for r in all_hits if r.n_overlap >= 3}
     assert {r.doc_id for r in thresh} == exp and len(exp) < len(all_hits)
+
+
+# ---- token-budget shard packing ----
+
+
+def test_pack_token_budget_semantics(spark, documents, docs_pdf):
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_py,
+    )
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        pack_token_budget,
+    )
+
+    budget = 500
+    out = pack_token_budget(
+        documents, budget=budget, text_col="text", n_buckets=8, seed=11
+    ).collect()
+    assert len(out) == len(docs_pdf)
+    # python twin: per-bucket prefix sum over id order
+    rows = sorted(
+        (seeded_hash_py(str(r.doc_id), 11) % 8, r.doc_id, r.n_tokens) for r in out
+    )
+    cum: dict[int, int] = {}
+    exp_pack = {}
+    for b, d, n in rows:
+        cum[b] = cum.get(b, 0) + n
+        exp_pack[d] = (b, (max(cum[b], 1) - 1) // budget)
+    for r in out:
+        assert (r.bucket, r.pack_id) == exp_pack[r.doc_id], r
+    # the boundary-crossing doc OPENS a pack; everything after it fits
+    # inside one budget (endpoints of non-first docs lie within the
+    # pack's (p·B, (p+1)·B] range)
+    by_pack: dict[tuple, list] = {}
+    for b, d, n in rows:
+        by_pack.setdefault((b, exp_pack[d][1]), []).append(n)
+    for (b, p), toks in by_pack.items():
+        assert sum(toks) - toks[0] <= budget
+    # token counts match the tokenizer
+    ntok = {int(r.doc_id): len(tokenize_str(r.text)) for _, r in docs_pdf.iterrows()}
+    for r in out:
+        assert r.n_tokens == ntok[r.doc_id]
+
+
+def test_pack_token_budget_stable_under_repartition(spark, documents):
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        pack_token_budget,
+    )
+
+    a = sorted(
+        map(tuple, pack_token_budget(
+            documents, 500, text_col="text", n_buckets=8, seed=11
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, pack_token_budget(
+            documents.repartition(13), 500, text_col="text", n_buckets=8, seed=11
+        ).collect())
+    )
+    assert a == b
+
+
+def test_pack_token_budget_oversized_doc_gets_own_pack(spark):
+    import pandas as pd
+
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        pack_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "content": ["tiny doc", " ".join(f"w{i}" for i in range(50)), "x y"],
+            }
+        )
+    )
+    out = {r.doc_id: r.pack_id for r in pack_token_budget(
+        df, budget=10, n_buckets=1, seed=11
+    ).collect()}
+    # doc 1 (2 toks) pack 0; doc 2 (50 toks, cum 52) floor(51/10)=5;
+    # doc 3 (cum 54) also pack 5 — the oversized doc closed packs 0-4
+    assert out == {1: 0, 2: 5, 3: 5}
