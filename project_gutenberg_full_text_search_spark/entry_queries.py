@@ -1397,4 +1397,116 @@ def build_registry():
             GROUP BY h.doc_id""",
     )
 
+    # ---- exact-substring passage duplication (Lee et al. 2022 analog) ----
+    def hot_passages_q(spark, sf_dir):
+        return dedup.hot_passages(
+            _documents(spark, sf_dir, spread=True), "text", window=6, min_docs=2
+        )
+
+    reg(
+        "dedup_hot_passages",
+        hot_passages_q,
+        r"""WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            p AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(ws) >= 6 THEN
+                  list_transform(range(1, len(ws) - 4),
+                                 i -> array_to_string(ws[i:i+5], ' '))
+                ELSE [] END) AS passage
+              FROM w)
+            SELECT passage, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_occ
+            FROM p GROUP BY passage HAVING count(DISTINCT doc_id) >= 2""",
+    )
+
+    # ---- int8 scalar quantization (embedding compression + quantized ANN) ----
+    def int8_codes_q(spark, sf_dir):
+        q = similarity.quantize_int8(_read(spark, sf_dir, "embeddings"))
+        return q.select(
+            "vec_id",
+            F.round("scale", 4).alias("scale"),
+            F.posexplode("codes").alias("pos", "code"),
+        ).select("vec_id", "scale", F.col("pos").cast("int"), F.col("code").cast("int"))
+
+    reg(
+        "ann_int8_codes",
+        int8_codes_q,
+        """WITH m AS (
+             SELECT vec_id, embedding::DOUBLE[] AS v,
+                    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+             FROM embeddings)
+           SELECT vec_id, round(amax, 4) AS scale,
+                  (u.pos - 1)::INT AS pos, u.code::INT AS code
+           FROM m, unnest(list_transform(range(1, len(v) + 1),
+                i -> {pos: i,
+                      code: CASE WHEN amax > 0
+                                 THEN floor(v[i] / amax * 127 + 0.5)
+                                 ELSE 0 END})) AS t(u)""",
+    )
+
+    def int8_top5_q(spark, sf_dir):
+        emb = _read(spark, sf_dir, "embeddings")
+        return similarity.ann_quantized_topk(emb, query_id=0, k=5)
+
+    reg(
+        "ann_int8_top5",
+        int8_top5_q,
+        """WITH m AS (
+             SELECT vec_id,
+                    CASE WHEN list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0
+                         THEN list_transform(embedding::DOUBLE[],
+                              x -> floor(x / list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+                                         * 127 + 0.5)::BIGINT)
+                         ELSE list_transform(embedding::DOUBLE[], x -> 0::BIGINT)
+                    END AS c
+             FROM embeddings),
+           q AS (SELECT c AS qc FROM m WHERE vec_id = 0)
+           SELECT m.vec_id AS vec_id,
+                  round(list_sum(list_transform(range(1, len(m.c) + 1), i -> m.c[i] * q.qc[i]))
+                        / (sqrt(list_sum(list_transform(m.c, x -> x * x))::DOUBLE)
+                           * sqrt(list_sum(list_transform(q.qc, x -> x * x))::DOUBLE)),
+                        4) AS cos_q
+           FROM m, q
+           WHERE round(list_sum(list_transform(range(1, len(m.c) + 1), i -> m.c[i] * q.qc[i]))
+                        / (sqrt(list_sum(list_transform(m.c, x -> x * x))::DOUBLE)
+                           * sqrt(list_sum(list_transform(q.qc, x -> x * x))::DOUBLE)),
+                        4) IS NOT NULL
+           ORDER BY cos_q DESC, vec_id ASC LIMIT 5""",
+    )
+
+    # ---- intra-doc repetition signals (Gopher-style quality filter) ----
+    def repetition_q(spark, sf_dir):
+        return textstats.repetition_profile(
+            _documents(spark, sf_dir, spread=True), "text"
+        )
+
+    reg(
+        "text_repetition_profile",
+        repetition_q,
+        r"""WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            wc AS (SELECT doc_id, g, count(*)::BIGINT AS c
+                   FROM (SELECT doc_id, unnest(ws) AS g FROM w) GROUP BY 1, 2),
+            wstat AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+                             count(*)::BIGINT AS nd, max(c) AS topw
+                      FROM wc GROUP BY doc_id),
+            bc AS (SELECT doc_id, g, count(*)::BIGINT AS c
+                   FROM (SELECT doc_id, unnest(
+                           CASE WHEN len(ws) >= 2 THEN
+                             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                           ELSE [] END) AS g FROM w) GROUP BY 1, 2),
+            bstat AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY doc_id)
+            SELECT w.doc_id AS doc_id,
+                   coalesce(n_words, 0)::BIGINT AS n_words,
+                   round(coalesce(nd::DOUBLE / greatest(n_words, 1), 0.0), 4) AS distinct_word_ratio,
+                   round(coalesce(topw::DOUBLE / greatest(n_words, 1), 0.0), 4) AS top_word_frac,
+                   round(coalesce(topb::DOUBLE / greatest(n_words - 1, 1), 0.0), 4) AS top_bigram_frac
+            FROM w LEFT JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)""",
+    )
+
     return queries, oracles

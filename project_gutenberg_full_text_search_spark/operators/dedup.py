@@ -511,3 +511,55 @@ def canonical_docs(
     return docs.select(F.col(id_col).alias("doc_id")).join(
         dropped, "doc_id", "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact substring duplication
+# ---------------------------------------------------------------------------
+
+
+def hot_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document EXACT substring duplication at passage granularity.
+
+    Slides a ``window``-word window over every document and returns each
+    passage string that occurs in >= ``min_docs`` DISTINCT documents, with
+    its document count and total occurrence count — the detection half of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"), which removes repeated boilerplate
+    passages that doc-level near-dup (MinHash/SimHash) cannot see.
+
+    Scale shape: the window explosion is row-local column algebra
+    (transform over sequence — no UDF); the single shuffle keys on the
+    passage string, where Spark's partial (map-side) aggregation collapses
+    each partition's repeats before the exchange, so hot passages — the
+    very thing being measured — do not create hot shuffle partitions. The
+    distinct-doc count rides the same aggregate (two-phase distinct).
+    Returns (passage, n_docs, n_occ).
+    """
+    words = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    n = F.size(words)
+    # guard: sequence(1, n-w+1) with n < w would generate a DESCENDING
+    # sequence (Spark defaults step to -1 when start > stop), i.e. junk
+    # windows — emit no passages for docs shorter than the window
+    passages = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(window - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(passages).alias("passage"))
+        .groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -503,3 +503,96 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8) — embedding compression + quantized ANN
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: 4x storage cut.
+
+    ``code_i = floor(x_i / amax * 127 + 0.5)`` with ``amax = max |x_i|``
+    (so codes span [-127, 127]); ``scale = amax`` reconstructs
+    ``x ~= code * scale / 127``. Codes are TINYINT — parquet stores them
+    byte-packed, which is what makes 100 TB of float32 embeddings 25 TB
+    on disk (and 4x less shuffle/scan IO for every downstream consumer).
+
+    Zero vectors quantize to all-zero codes (scale 0). The rounding is
+    floor(+0.5), round-half-up in both engines — deterministic, exact
+    DuckDB twin. ``amax`` appears inside the per-element lambda, so
+    Catalyst re-evaluates the array_max per element (O(dim^2)/row);
+    at dim<=4096 this is micro-cost and keeps the whole operator one
+    codegen'd projection with no extra pass.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    codes = F.when(
+        amax > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") / amax * 127.0 + 0.5).cast("byte"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("byte")))
+    return emb.select(
+        F.col(id_col), amax.alias("scale"), codes.alias("codes")
+    )
+
+
+def ann_quantized_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k cosine over int8-quantized codes — integer math until the end.
+
+    cos_q = sum(qc*dc) / (sqrt(sum(qc^2)) * sqrt(sum(dc^2))): the
+    per-vector scales cancel out of cosine exactly, so scoring is pure
+    BIGINT dot products with ONE double division at the end — bit-exact
+    across engines (no float-summation-order hazard) and ~4x less memory
+    traffic than float32 scoring. Production re-ranks the top candidates
+    with exact float cosine; at int8/dim-64 the quantized ranking already
+    matches the exact top-k (asserted in tests).
+
+    The query is quantized IN-ENGINE from its stored row and broadcast —
+    one scan of the code table, no shuffle.
+    """
+    q = quantize_int8(emb, id_col, vec_col)
+    qrow = q.filter(F.col(id_col) == query_id).select(
+        F.col("codes").alias("_qc")
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("_qc"), lambda a, b: a.cast("long") * b.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    self_dot = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a.cast("long") * a.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.crossJoin(F.broadcast(qrow))
+        .select(
+            F.col(id_col),
+            F.round(
+                idot
+                / (
+                    F.sqrt(self_dot(F.col("codes")).cast("double"))
+                    * F.sqrt(self_dot(F.col("_qc")).cast("double"))
+                ),
+                round_digits,
+            ).alias("cos_q"),
+        )
+        .filter(F.col("cos_q").isNotNull())
+        .orderBy(F.desc("cos_q"), F.asc(id_col))
+        .limit(k)
+    )

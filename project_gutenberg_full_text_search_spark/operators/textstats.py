@@ -96,6 +96,138 @@ def fingerprint_col(text_col: str, toks: Column | None = None) -> Column:
     )
 
 
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "explode",
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (quality filtering).
+
+    Per document: ``n_words``, ``distinct_word_ratio`` (distinct/total),
+    ``top_word_frac`` (most frequent word's share), ``top_bigram_frac``
+    (most frequent word-bigram's share of bigrams). High top-*-frac /
+    low distinct-ratio marks boilerplate and generation loops — the
+    repetition filters of Gopher (Rae et al. 2021 §A1.1) and the Dolma/
+    RefinedWeb pipelines. Ratios rounded to 4 (oracle-matched).
+
+    Two implementations, asserted identical in tests:
+
+    * ``impl='explode'`` (default) — declarative two-level aggregation:
+      explode words/bigrams, partial-aggregated ``groupBy(id, gram)``
+      then ``groupBy(id)``. Catalyst/codegen end-to-end and the form the
+      DuckDB oracle twins; the gram-keyed shuffles are uniform (doc_id
+      salt is built into the key) so no skew at any corpus size.
+    * ``impl='arrow'`` — single-pass, SHUFFLE-FREE ``mapInPandas``: the
+      stats are per-row-computable, so at 100 TB one Arrow-batched scan
+      beats shipping a ~10× row explosion through two shuffles. This is
+      the scale path; the explode form is the oracle/verification path.
+    """
+    words = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    if impl == "arrow":
+        import pandas as pd  # noqa: F401
+
+        schema = (
+            f"{id_col} long, n_words long, distinct_word_ratio double, "
+            "top_word_frac double, top_bigram_frac double"
+        )
+        base = df.select(F.col(id_col), F.col(text_col))
+
+        def gen(batches):
+            import math
+            from collections import Counter
+
+            # Spark's round() is HALF_UP; Python's round() is half-even —
+            # they differ on exact dyadic ratios (1/32 -> .0313 vs .0312),
+            # so round half-up explicitly to stay impl-identical
+            r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+
+            for pdf in batches:
+                rows = []
+                for i, t in zip(pdf[id_col], pdf[text_col]):
+                    ws = [w for w in (t or "").split() if w]
+                    n = len(ws)
+                    wc = Counter(ws)
+                    bc = Counter(zip(ws, ws[1:]))
+                    rows.append(
+                        (
+                            i,
+                            n,
+                            r4(len(wc) / max(n, 1)),
+                            r4(max(wc.values(), default=0) / max(n, 1)),
+                            r4(max(bc.values(), default=0) / max(n - 1, 1)),
+                        )
+                    )
+                import pandas as _pd
+
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        id_col,
+                        "n_words",
+                        "distinct_word_ratio",
+                        "top_word_frac",
+                        "top_bigram_frac",
+                    ],
+                )
+
+        return base.mapInPandas(gen, schema)
+
+    base = df.select(F.col(id_col), words.alias("_ws"))
+    n = F.size("_ws")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_ws", i), F.element_at("_ws", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wstats = (
+        base.select(F.col(id_col), F.explode("_ws").alias("g"))
+        .groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.count("*").alias("_nd"),
+            F.max("count").alias("_topw"),
+        )
+    )
+    bstats = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("g"))
+        .groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_topb"))
+    )
+    nz = F.greatest(F.col("n_words"), F.lit(1))
+    return (
+        base.select(id_col)
+        .join(wstats, id_col, "left")
+        .join(bstats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.round(F.coalesce(F.col("_nd") / nz, F.lit(0.0)), 4).alias(
+                "distinct_word_ratio"
+            ),
+            F.round(F.coalesce(F.col("_topw") / nz, F.lit(0.0)), 4).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("_topb")
+                    / F.greatest(F.col("n_words") - 1, F.lit(1)),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile: all analysis columns together.
 

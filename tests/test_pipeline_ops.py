@@ -1139,3 +1139,187 @@ def test_pack_token_budget_oversized_doc_gets_own_pack(spark):
     # doc 1 (2 toks) pack 0; doc 2 (50 toks, cum 52) floor(51/10)=5;
     # doc 3 (cum 54) also pack 5 — the oversized doc closed packs 0-4
     assert out == {1: 0, 2: 5, 3: 5}
+
+
+# ---------------------------------------------------------------------------
+# hot_passages — exact substring passage duplication
+# ---------------------------------------------------------------------------
+
+
+def test_hot_passages_exact_counts(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "a tale of the quick brown fox jumps over everything",
+                    "short doc",  # shorter than window -> no passages
+                    "the quick brown fox jumps over the quick brown fox jumps over",
+                ],
+            }
+        )
+    )
+    out = {
+        r.passage: (r.n_docs, r.n_occ)
+        for r in dedup.hot_passages(df, window=6, min_docs=2).collect()
+    }
+    # "the quick brown fox jumps over" occurs in docs 1, 2, 4 (doc 4 twice)
+    assert out["the quick brown fox jumps over"] == (3, 4)
+    # "quick brown fox jumps over the" occurs in docs 1 and 4
+    assert out["quick brown fox jumps over the"] == (2, 2)
+    # nothing from doc 3, and no single-doc passages leak through
+    assert all(nd >= 2 for nd, _ in out.values())
+
+
+def test_hot_passages_python_twin(documents, docs_pdf):
+    from collections import Counter, defaultdict
+
+    W = 6
+    occ: Counter = Counter()
+    docs_of = defaultdict(set)
+    for _, r in docs_pdf.iterrows():
+        ws = [w for w in re.split(r"\s+", r.text) if w]
+        for i in range(len(ws) - W + 1):
+            p = " ".join(ws[i : i + W])
+            occ[p] += 1
+            docs_of[p].add(int(r.doc_id))
+    exp = {
+        p: (len(docs_of[p]), occ[p]) for p in occ if len(docs_of[p]) >= 2
+    }
+    got = {
+        r.passage: (r.n_docs, r.n_occ)
+        for r in dedup.hot_passages(documents, window=W, min_docs=2).collect()
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_known_values(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1],
+                "embedding": [[1.0, -0.5, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0]],
+            }
+        )
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_int8(df).collect()}
+    # amax=1.0: codes = round-half-up(x*127) -> [127, -63, 32, 0]
+    # (-0.5*127 = -63.5 -> floor(-63.0) = -63 under half-UP, not -64)
+    assert rows[0].scale == 1.0
+    assert list(rows[0].codes) == [127, -63, 32, 0]
+    # zero vector -> zero codes, scale 0 (no NaN/div-by-zero)
+    assert rows[1].scale == 0.0
+    assert list(rows[1].codes) == [0, 0, 0, 0]
+
+
+def test_quantize_int8_reconstruction_error_bounded(embeddings):
+    q = similarity.quantize_int8(embeddings)
+    joined = embeddings.join(q, "vec_id").select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "codes",
+                    lambda x, c: F.abs(
+                        x.cast("double") - c.cast("double") * F.col("scale") / 127.0
+                    ),
+                )
+            )
+            / F.greatest(F.col("scale"), F.lit(1e-12))
+        ).alias("max_rel_err")
+    ).collect()[0]
+    # symmetric int8: worst-case relative error 0.5/127 of the vector max
+    assert joined.max_rel_err <= 0.5 / 127.0 + 1e-9
+
+
+def test_ann_quantized_topk_matches_exact_ranking(embeddings):
+    """At dim 64 / int8, quantized cosine ranking should agree with exact
+    float cosine on the clear-margin testdata query (vec 0 vs corpus)."""
+    emb_row = embeddings.filter(F.col("vec_id") == 0).collect()[0]
+    qv = [float(x) for x in emb_row.embedding]
+    exact = [
+        r.vec_id for r in similarity.cosine_topk(embeddings, qv, k=5).collect()
+    ]
+    quant = [
+        r.vec_id
+        for r in similarity.ann_quantized_topk(embeddings, query_id=0, k=5).collect()
+    ]
+    assert quant == exact
+
+
+def test_ann_quantized_topk_is_integer_exact(spark):
+    """The quantized score must be a pure function of the int8 codes —
+    verified against a numpy int64 dot on a controlled frame."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 8).astype("float32")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(20), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    got = {
+        r.vec_id: r.cos_q
+        for r in similarity.ann_quantized_topk(df, query_id=3, k=20).collect()
+    }
+    codes = np.zeros((20, 8), dtype=np.int64)
+    for i, v in enumerate(vecs):
+        amax = float(np.abs(v.astype("float64")).max())
+        if amax > 0:
+            codes[i] = np.floor(v.astype("float64") / amax * 127.0 + 0.5)
+    qc = codes[3]
+    for i in range(20):
+        idot = int((codes[i] * qc).sum())
+        exp = idot / (
+            math.sqrt(int((codes[i] ** 2).sum())) * math.sqrt(int((qc**2).sum()))
+        )
+        assert abs(got[i] - round(exp, 4)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# repetition profile (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_profile_hand_values(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a a a b", ""]})
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_profile(df).collect()}
+    r1 = rows[1]
+    assert r1.n_words == 4
+    assert r1.distinct_word_ratio == 0.5
+    assert r1.top_word_frac == 0.75
+    # bigrams: "a a" x2, "a b" x1 -> 2/3
+    assert r1.top_bigram_frac == 0.6667
+    # empty doc: all zeros, no NaN
+    r2 = rows[2]
+    assert (r2.n_words, r2.distinct_word_ratio, r2.top_word_frac, r2.top_bigram_frac) == (
+        0,
+        0.0,
+        0.0,
+        0.0,
+    )
+
+
+def test_repetition_profile_arrow_impl_identical(documents):
+    a = sorted(
+        map(tuple, textstats.repetition_profile(documents, impl="explode").collect())
+    )
+    b = sorted(
+        map(tuple, textstats.repetition_profile(documents, impl="arrow").collect())
+    )
+    assert a == b
