@@ -1509,4 +1509,63 @@ def build_registry():
             FROM w LEFT JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)""",
     )
 
+    # ---- sliding context-window chunking (training-sequence carver) ----
+    def chunk_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators.etl import (
+            chunk_windows,
+        )
+
+        return chunk_windows(
+            _documents(spark, sf_dir), window=40, stride=30, text_col="text"
+        )
+
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        chunk_windows_sql,
+    )
+
+    reg("chunk_sliding_windows", chunk_q, chunk_windows_sql("documents", 40, 30))
+
+    # ---- cross-doc repeated-segment removal (corpus-adaptive, token-level
+    # here: strips segments shared by >= 390 of the 500 docs — the
+    # ubiquitous ~half of this corpus's vocabulary; line-level on '\n'
+    # corpora is the same operator — covered in tests/test_pipeline_ops.py) ----
+    def strip_hot_q(spark, sf_dir):
+        return dedup.strip_hot_segments(
+            _documents(spark, sf_dir, spread=True),
+            "text",
+            delim=" ",
+            min_docs=390,
+        )
+
+    reg(
+        "clean_hot_segments",
+        strip_hot_q,
+        dedup.strip_hot_segments_sql("documents", "' '", 390),
+    )
+
+    # ---- per-doc TF-IDF top-k keyword extraction ----
+    def tfidf_q(spark, sf_dir):
+        return textstats.tfidf_top_terms(
+            _documents(spark, sf_dir, spread=True), k=5, text_col="text"
+        )
+
+    reg(
+        "tfidf_top_terms",
+        tfidf_q,
+        f"""WITH tok AS (
+              SELECT doc_id, t.tok AS term FROM documents, unnest({_TOKS}) AS t(tok)),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            nx AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            sc AS (SELECT doc_id, term,
+                          round(tf * (ln((n + 1) / (df + 1)) + 1), 4) AS score
+                   FROM tf JOIN dfx USING (term), nx),
+            r AS (SELECT doc_id, term, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, term ASC) AS rnk
+                  FROM sc)
+            SELECT doc_id, rnk::INT AS rnk, term, score FROM r WHERE rnk <= 5""",
+    )
+
     return queries, oracles

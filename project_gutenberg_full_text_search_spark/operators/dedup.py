@@ -563,3 +563,104 @@ def hot_passages(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def strip_hot_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """REMOVE cross-document repeated segments from every document.
+
+    Splits each document on ``delim`` (a literal separator: newline for
+    line-level boilerplate — license banners, nav headers, generated
+    preambles in a source-code corpus; space for corpus-adaptive
+    stopword stripping), finds segments occurring in >= ``min_docs``
+    distinct documents, and rebuilds each document with those segments
+    removed, order preserved. The removal half of repeated-boilerplate
+    cleanup (C4/RefinedWeb line dedup; Lee et al. 2022 motivation) that
+    `hot_passages` only detects. Empty segments (consecutive delimiters)
+    are dropped, i.e. output delimiters are normalized. Emits
+    (doc_id, clean_text, n_kept, n_dropped) — one row per input doc,
+    docs that lose every segment keep an empty clean_text.
+
+    Scale shape: the frequency groupBy keys on the segment string, where
+    map-side partial aggregation collapses each partition's repeats
+    before the exchange — hot segments, the very thing being counted,
+    do not create hot shuffle partitions. The hot-segment table is then
+    DISTINCT segments above the threshold (small — boilerplate by
+    definition repeats), so the left-anti join is AQE-broadcast and the
+    corpus-side explode never re-shuffles on a skewed key. Rebuild is
+    one groupBy(doc_id) — uniform keys. At extreme vocabulary scale,
+    join on xxhash64(segment) instead of the string to cut exchange
+    bytes; kept as the string here for oracle exactness.
+    """
+    import re as _re
+
+    segs = F.split(F.col(text_col), _re.escape(delim), -1)
+    nonempty = F.filter(segs, lambda x: x != "")
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos", "seg")
+    ).filter(F.col("seg") != "")
+    hot = (
+        ex.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("seg")
+    )
+    kept = ex.join(hot, "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            delim,
+        ).alias("clean_text"),
+        F.count("*").cast("int").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(nonempty).alias("_n_segs")
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        (F.col("_n_segs") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_dropped"),
+    )
+
+
+def strip_hot_segments_sql(
+    table: str,
+    delim_sql: str,
+    min_docs: int,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of strip_hot_segments (``delim_sql`` is a SQL string
+    literal for the delimiter, e.g. ``"' '"`` or ``"chr(10)"``)."""
+    return f"""
+WITH s AS (
+  SELECT {id_expr} AS doc_id,
+         list_filter(string_split({text_expr}, {delim_sql}), x -> x <> '') AS segs
+  FROM {table}
+),
+e AS (SELECT doc_id, segs, unnest(range(1, len(segs) + 1)) AS pos FROM s),
+e2 AS (SELECT doc_id, pos, segs[pos] AS seg FROM e),
+hot AS (SELECT seg FROM e2 GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= {min_docs}),
+kept AS (SELECT doc_id, pos, seg FROM e2
+         WHERE seg NOT IN (SELECT seg FROM hot)),
+reb AS (SELECT doc_id,
+               string_agg(seg, {delim_sql} ORDER BY pos) AS clean_text,
+               count(*)::INT AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT s.doc_id AS doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       coalesce(reb.n_kept, 0)::INT AS n_kept,
+       (len(s.segs) - coalesce(reb.n_kept, 0))::INT AS n_dropped
+FROM s LEFT JOIN reb USING (doc_id)"""

@@ -361,3 +361,97 @@ c AS (
 SELECT doc_id, bucket, n_tokens,
        floor((greatest(cum, 1) - 1) / {budget})::BIGINT AS pack_id
 FROM c"""
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding token-window chunking — the context-window carver.
+
+    Splits every document into ``window``-token chunks advancing by
+    ``stride`` tokens (overlap = window - stride), the standard step
+    between "cleaned corpus" and "model-ready sequences": LM training
+    examples, embedding-model passages, retrieval windows. Emits
+    (doc_id, chunk_id, n_tokens, chunk_text); the final chunk is the
+    short tail (never padded), empty docs emit nothing.
+
+    Scale shape: pure row-local column algebra — tokenize, compute the
+    chunk count with integer arithmetic, explode a ``sequence``, slice —
+    zero UDF, zero shuffle, so it pipelines inside the scan's codegen
+    stage and the output is written without any exchange. The ~window/
+    stride row fan-out happens inside the task, not across the wire.
+    Reference analog: the per-doc text assembly that mv_books_dc.sql's
+    tsvector build performs before indexing (reference mv_books_dc.sql),
+    re-aimed at training-data prep.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    n = F.size(toks)
+    # integer-exact chunk count (engine-portable, no float ceil):
+    # 0 for empty docs, 1 while n <= window, else 1 + ceil((n-window)/stride)
+    extra = F.floor(
+        (n - F.lit(window) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= window, F.lit(1))
+        .otherwise(F.lit(1) + extra)
+    )
+    # sequence(0, -1) would produce a DESCENDING sequence (Spark defaults
+    # step to -1 when start > stop) — emit an empty array instead so
+    # explode() drops empty docs
+    ids = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    start = F.col("chunk_id") * stride
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.explode(ids).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.least(F.lit(window), F.col("_n") - start).cast("int").alias("n_tokens"),
+            F.array_join(F.slice("_toks", start + 1, window), " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_windows_sql(
+    table: str,
+    window: int,
+    stride: int,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin producing identical (doc_id, chunk_id, n_tokens,
+    chunk_text) rows (list slice is 1-based inclusive-inclusive)."""
+    w, s = window, stride
+    return rf"""
+WITH t AS (
+  SELECT {id_expr} AS doc_id,
+         list_filter(regexp_split_to_array({text_expr}, '\s+'), x -> x <> '') AS ws
+  FROM {table}
+),
+c AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) <= 0 THEN 0
+              WHEN len(ws) <= {w} THEN 1
+              ELSE 1 + CAST(floor((len(ws) - {w} + {s - 1})::DOUBLE / {s}) AS INT)
+         END AS nc
+  FROM t
+),
+e AS (SELECT doc_id, ws, n, unnest(range(nc)) AS cid FROM c)
+SELECT doc_id,
+       cid::INT AS chunk_id,
+       least({w}, n - cid * {s})::INT AS n_tokens,
+       array_to_string(ws[cid * {s} + 1 : cid * {s} + {w}], ' ') AS chunk_text
+FROM e"""

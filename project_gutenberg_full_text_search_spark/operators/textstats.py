@@ -247,3 +247,57 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             fingerprint_col(text_col, toks).alias("fingerprint"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k distinguishing terms by smoothed TF-IDF.
+
+    score = tf · (ln((N+1)/(df+1)) + 1), rounded to 4 — the classic
+    keyword-extraction / corpus-exploration primitive (label a cluster,
+    summarize a repo, build a lightweight doc signature). Emits
+    (doc_id, rnk, term, score) with rnk 1..k ordered by (rounded score
+    DESC, term ASC); ordering on the ROUNDED score keeps the ranking
+    bit-stable across engines (raw-double ties broken lexically).
+
+    Scale shape: two uniform-key shuffles (tf groupBy on (doc, term),
+    df groupBy on term — both with map-side partials, so stopword-grade
+    hot terms collapse before the exchange), corpus size N joined in as
+    a broadcast single-row aggregate (no collect), and the top-k window
+    partitions by doc_id — millions of small partitions, no global sort.
+    The df join keys on term: its skew is bounded because the tf side
+    is already (doc, term)-distinct, i.e. a term appears at most once
+    per doc on the probe side.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n = df.select(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", F.col("rnk").cast("int").alias("rnk"), "term", "score")
+    )

@@ -1323,3 +1323,119 @@ def test_repetition_profile_arrow_impl_identical(documents):
         map(tuple, textstats.repetition_profile(documents, impl="arrow").collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_partition_and_overlap(spark):
+    from project_gutenberg_full_text_search_spark.operators.etl import chunk_windows
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks
+        (2, "a b c"),  # shorter than window
+        (3, ""),  # empty -> no chunks
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # stride == window: exact partition, no overlap
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_windows(df, window=4, stride=4).collect()
+    }
+    assert sorted(out) == [(1, 0), (1, 1), (1, 2), (2, 0), (4, 0)]
+    assert out[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[(1, 2)]["chunk_text"] == "w8 w9"  # short tail, never padded
+    assert out[(1, 2)]["n_tokens"] == 2
+    assert out[(2, 0)]["n_tokens"] == 3
+    # stride < window: consecutive chunks share window-stride tokens
+    ov = {
+        r["chunk_id"]: r["chunk_text"]
+        for r in chunk_windows(
+            df.filter("doc_id = 1"), window=4, stride=2
+        ).collect()
+    }
+    assert ov[0].split()[2:] == ov[1].split()[:2]
+    # reconstruction: stride==window chunks concatenate back to the doc
+    joined = " ".join(out[(1, i)]["chunk_text"] for i in range(3))
+    assert joined == rows[0][1]
+
+
+def test_chunk_windows_validates_params(spark):
+    from project_gutenberg_full_text_search_spark.operators.etl import chunk_windows
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_windows(df, window=0, stride=1)
+    with pytest.raises(ValueError):
+        chunk_windows(df, window=4, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# cross-doc repeated-segment removal (line-level)
+# ---------------------------------------------------------------------------
+
+
+def test_strip_hot_segments_lines(spark):
+    banner = "# SPDX-License-Identifier: MIT"
+    rows = [
+        (1, f"{banner}\ndef f():\n    return 1"),
+        (2, f"{banner}\ndef g():\n    return 2"),
+        (3, f"{banner}\n{banner}\nunique line"),  # repeated banner inside one doc
+        (4, banner),  # loses everything
+        (5, "entirely original\ncontent here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.strip_hot_segments(df, delim="\n", min_docs=2).collect()
+    }
+    assert len(out) == 5  # one row per input doc, even fully-stripped ones
+    assert out[1]["clean_text"] == "def f():\n    return 1"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    # both occurrences inside doc 3 are dropped; order of survivors kept
+    assert out[3]["clean_text"] == "unique line"
+    assert out[3]["n_dropped"] == 2
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+    assert out[5]["clean_text"] == rows[4][1] and out[5]["n_dropped"] == 0
+
+
+def test_strip_hot_segments_threshold(spark):
+    # a segment in exactly min_docs-1 docs survives
+    rows = [(1, "shared\nown1"), (2, "shared\nown2"), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.strip_hot_segments(df, delim="\n", min_docs=3).collect()
+    }
+    assert out[1] == "shared\nown1"  # df=2 < 3 -> kept
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_ranks_distinguishing_terms(spark):
+    rows = [
+        (1, "common common rareword rareword rareword"),
+        (2, "common common common other"),
+        (3, "common thing"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = {d: sorted(rs, key=lambda r: r["rnk"])[0]["term"] for d, rs in by_doc.items()}
+    # the doc-unique repeated term beats the everywhere-term
+    assert top1[1] == "rareword"
+    n, df_common, df_rare = 3.0, 3.0, 1.0
+    exp = round(3 * (math.log((n + 1) / (df_rare + 1)) + 1), 4)
+    got = [r for r in by_doc[1] if r["term"] == "rareword"][0]["score"]
+    assert got == pytest.approx(exp, abs=1e-9)
+    # rnk is 1..k and unique per doc
+    for d, rs in by_doc.items():
+        assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
