@@ -1568,4 +1568,94 @@ def build_registry():
             SELECT doc_id, rnk::INT AS rnk, term, score FROM r WHERE rnk <= 5""",
     )
 
+    # ---- composed end-to-end training-prep pipeline: exact-dedup
+    # survivors -> cross-doc hot-segment cleanup -> deterministic 50%
+    # hash sample -> 30-token chunking -> token-budget shard packing.
+    # One registry entry proving the pipeline operators COMPOSE with
+    # end-to-end hash equality (the DuckDB twin chains the same five
+    # stages in one CTE pipeline). ----
+    def pipeline_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators.etl import (
+            chunk_windows,
+            hash_sample,
+            pack_token_budget,
+        )
+
+        docs = _documents(spark, sf_dir, spread=True)
+        surv = dedup.exact_dedup(docs, "text", "doc_id")
+        clean = dedup.strip_hot_segments(surv, "text", delim=" ", min_docs=390)
+        sampled = hash_sample(clean, 0.5, id_col="doc_id", seed=7)
+        chunks = chunk_windows(sampled, window=30, stride=30, text_col="clean_text")
+        with_uid = chunks.withColumn(
+            "chunk_uid", F.col("doc_id") * F.lit(10000) + F.col("chunk_id")
+        )
+        packed = pack_token_budget(
+            with_uid,
+            budget=256,
+            text_col="chunk_text",
+            id_col="chunk_uid",
+            n_buckets=8,
+            seed=11,
+        )
+        return packed.select(
+            F.expr("chunk_uid DIV 10000").cast("long").alias("doc_id"),
+            (F.col("chunk_uid") % 10000).cast("int").alias("chunk_id"),
+            "chunk_uid",
+            "bucket",
+            "n_tokens",
+            "pack_id",
+        )
+
+    _CHUNK_TOKS = (
+        "list_filter(regexp_split_to_array(lower(chunk_text), "
+        f"'{TOKEN_SPLIT_RE}'), x -> x <> '')"
+    )
+    reg(
+        "pipeline_train_prep",
+        pipeline_q,
+        rf"""WITH surv AS (
+              SELECT d.* FROM documents d
+              JOIN (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) k
+                ON d.doc_id = k.keep_id),
+            s AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS segs
+                  FROM surv),
+            e AS (SELECT doc_id, segs, unnest(range(1, len(segs) + 1)) AS pos FROM s),
+            e2 AS (SELECT doc_id, pos, segs[pos] AS seg FROM e),
+            hot AS (SELECT seg FROM e2 GROUP BY seg
+                    HAVING count(DISTINCT doc_id) >= 390),
+            kept AS (SELECT doc_id, pos, seg FROM e2
+                     WHERE seg NOT IN (SELECT seg FROM hot)),
+            reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+                    FROM kept GROUP BY doc_id),
+            clean AS (SELECT s.doc_id, coalesce(reb.clean_text, '') AS clean_text
+                      FROM s LEFT JOIN reb USING (doc_id)),
+            samp AS (SELECT * FROM clean
+                     WHERE ({seeded_hash_sql("doc_id::VARCHAR", 7)} % 1000000) < 500000),
+            t AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(clean_text, '\s+'),
+                                     x -> x <> '') AS ws
+                  FROM samp),
+            c AS (SELECT doc_id, ws, len(ws) AS n,
+                         CASE WHEN len(ws) <= 0 THEN 0
+                              WHEN len(ws) <= 30 THEN 1
+                              ELSE 1 + CAST(floor((len(ws) - 30 + 29)::DOUBLE / 30) AS INT)
+                         END AS nc
+                  FROM t),
+            ech AS (SELECT doc_id, ws, unnest(range(nc)) AS cid FROM c),
+            ch AS (SELECT doc_id, cid, doc_id * 10000 + cid AS chunk_uid,
+                          array_to_string(ws[cid * 30 + 1 : cid * 30 + 30], ' ') AS chunk_text
+                   FROM ech),
+            pb AS (SELECT doc_id, cid, chunk_uid,
+                          ({seeded_hash_sql("chunk_uid::VARCHAR", 11)} % 8)::INT AS bucket,
+                          len({_CHUNK_TOKS})::BIGINT AS n_tokens
+                   FROM ch),
+            pc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY chunk_uid
+                                                 ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM pb)
+            SELECT doc_id, cid::INT AS chunk_id, chunk_uid, bucket, n_tokens,
+                   floor((greatest(cum, 1) - 1) / 256)::BIGINT AS pack_id
+            FROM pc""",
+    )
+
     return queries, oracles
