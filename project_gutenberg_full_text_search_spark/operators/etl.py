@@ -390,6 +390,11 @@ def chunk_windows(
     """
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # stride > window would skip tokens AND emit an empty trailing
+        # chunk whenever stride divides into the tail; gap-sampling is a
+        # different operator (hash_sample the chunks instead)
+        raise ValueError("stride must be <= window (no-gap chunking)")
     toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
     n = F.size(toks)
     # integer-exact chunk count (engine-portable, no float ceil):

@@ -1439,3 +1439,46 @@ def test_tfidf_top_terms_ranks_distinguishing_terms(spark):
     # rnk is 1..k and unique per doc
     for d, rs in by_doc.items():
         assert sorted(r["rnk"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_chunk_windows_matches_python_reference_randomized(spark):
+    """One Spark job over 60 seeded-random docs x 3 (window, stride)
+    configs vs a direct Python reference — covers tails, exact
+    multiples, single-token docs, and heavy whitespace."""
+    import random
+
+    from project_gutenberg_full_text_search_spark.operators.etl import chunk_windows
+
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(7)]
+    rows = []
+    for d in range(60):
+        n = rng.choice([0, 1, 2, 3, 4, 5, 7, 8, 12, 29, 30, 31, 63])
+        sep = rng.choice([" ", "  ", " \t ", "   "])
+        rows.append((d, sep.join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ref(text, w, s):
+        toks = [t for t in re.split(r"\s+", text) if t]
+        out = []
+        cid = 0
+        i = 0
+        while i < len(toks):
+            piece = toks[i : i + w]
+            out.append((cid, len(piece), " ".join(piece)))
+            if i + w >= len(toks):
+                break
+            cid += 1
+            i += s
+        return out
+
+    for w, s in [(8, 8), (8, 5), (30, 10)]:
+        got = sorted(
+            map(tuple, chunk_windows(df, window=w, stride=s).collect())
+        )
+        exp = sorted(
+            (d, cid, nt, txt)
+            for d, text in rows
+            for cid, nt, txt in ref(text, w, s)
+        )
+        assert got == exp, (w, s)
