@@ -1509,6 +1509,16 @@ def build_registry():
             FROM w LEFT JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)""",
     )
 
+    # ---- Gopher document-quality gate (rule signals + keep verdict) ----
+    def gopher_q(spark, sf_dir):
+        return textstats.gopher_rules(_documents(spark, sf_dir, spread=True), "text")
+
+    reg(
+        "quality_gopher_rules",
+        gopher_q,
+        textstats.gopher_rules_sql("documents", "text"),
+    )
+
     # ---- sliding context-window chunking (training-sequence carver) ----
     def chunk_q(spark, sf_dir):
         from project_gutenberg_full_text_search_spark.operators.etl import (

@@ -228,6 +228,158 @@ def repetition_profile(
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) as a single
+    shuffle-free column-algebra pass: per doc the raw signals plus a
+    ``keep`` verdict ANDing every rule. The classic pre-training corpus
+    gate (Gopher/MassiveText; reused by Dolma, RefinedWeb, FineWeb).
+
+    Signals over whitespace words / newline lines:
+
+    * ``n_words`` in [min_words, max_words]
+    * ``mean_word_len`` in [min_mean_word_len, max_mean_word_len]
+    * ``symbol_word_ratio`` (``#`` and non-overlapping ``...`` hits per
+      word) <= max_symbol_word_ratio
+    * ``alpha_word_ratio`` (words containing an ASCII letter) >=
+      min_alpha_word_ratio
+    * ``bullet_line_frac`` (lines starting ``-``/``*``/``•``) <=
+      max_bullet_line_frac
+    * ``ellipsis_line_frac`` (lines ending ``...``/``…``) <=
+      max_ellipsis_line_frac
+    * ``n_stopwords`` (distinct EN stopwords present, lowercased) >=
+      min_stopwords
+
+    Every rule compares RAW integer-ratio doubles (bit-identical across
+    engines); the 4-digit rounding is display-only, so ``keep`` has an
+    exact DuckDB twin (`gopher_rules_sql`). Scale shape: one narrow
+    projection, no shuffle, no UDF — runs at parquet-scan speed at any
+    corpus size and is the cheap first stage before the (shuffling)
+    repetition_profile / dedup stages.
+    """
+    ws = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    lines = F.split(F.col(text_col), r"\n")
+    n = F.size(ws)
+    nz = F.greatest(n, F.lit(1))
+    n_lines_z = F.greatest(F.size(lines), F.lit(1))
+    char_sum = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = char_sum / nz
+    hash_hits = F.length(text_col) - F.length(
+        F.expr(f"replace({text_col}, '#', '')")
+    )
+    ellipsis_hits = (
+        F.length(text_col) - F.length(F.expr(f"replace({text_col}, '...', '')"))
+    ) / 3
+    symbol_ratio = (hash_hits + ellipsis_hits) / nz
+    alpha_ratio = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / nz
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))) / n_lines_z
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / n_lines_z
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(ws, F.lower)),
+            F.array(*[F.lit(s) for s in EN_STOPWORDS]),
+        )
+    )
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_rules_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_stopwords: int = 2,
+) -> str:
+    """Exact DuckDB twin of :func:`gopher_rules` (same raw-double rule
+    comparisons, same display rounding)."""
+    stop_list = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+    return rf"""WITH b AS (
+          SELECT {id_col},
+                 list_filter(regexp_split_to_array({text_col}, '\s+'), x -> x <> '') AS ws,
+                 regexp_split_to_array({text_col}, '\n') AS lines,
+                 (length({text_col}) - length(replace({text_col}, '#', '')))::DOUBLE AS hash_hits,
+                 (length({text_col}) - length(replace({text_col}, '...', '')))::DOUBLE / 3 AS ell_hits
+          FROM {table}),
+        r AS (
+          SELECT {id_col},
+                 len(ws)::BIGINT AS n_words,
+                 list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                     / greatest(len(ws), 1) AS mean_wl,
+                 (hash_hits + ell_hits) / greatest(len(ws), 1) AS symbol_ratio,
+                 len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                     / greatest(len(ws), 1) AS alpha_ratio,
+                 len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::DOUBLE
+                     / greatest(len(lines), 1) AS bullet_frac,
+                 len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::DOUBLE
+                     / greatest(len(lines), 1) AS ellipsis_frac,
+                 len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+                                    {stop_list}))::INT AS n_stop
+          FROM b)
+        SELECT {id_col},
+               n_words,
+               round(mean_wl, 4) AS mean_word_len,
+               round(symbol_ratio, 4) AS symbol_word_ratio,
+               round(alpha_ratio, 4) AS alpha_word_ratio,
+               round(bullet_frac, 4) AS bullet_line_frac,
+               round(ellipsis_frac, 4) AS ellipsis_line_frac,
+               n_stop AS n_stopwords,
+               (n_words >= {min_words} AND n_words <= {max_words}
+                AND mean_wl >= {min_mean_word_len} AND mean_wl <= {max_mean_word_len}
+                AND symbol_ratio <= {max_symbol_word_ratio}
+                AND alpha_ratio >= {min_alpha_word_ratio}
+                AND bullet_frac <= {max_bullet_line_frac}
+                AND ellipsis_frac <= {max_ellipsis_line_frac}
+                AND n_stop >= {min_stopwords}) AS keep
+        FROM r"""
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile: all analysis columns together.
 

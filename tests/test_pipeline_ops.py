@@ -1482,3 +1482,59 @@ def test_chunk_windows_matches_python_reference_randomized(spark):
             for cid, nt, txt in ref(text, w, s)
         )
         assert got == exp, (w, s)
+
+
+def _gopher_docs():
+    """Crafted docs, one per Gopher rule violation + one clean pass."""
+    clean = " ".join(
+        ["the quick brown fox jumps over lazy dogs near a river bank"] * 6
+    )  # 66 words, stopwords 'the'/'a', mean len ~4
+    return [
+        (0, clean),  # keep
+        (1, "the a of to " + " ".join(["word"] * 10)),  # too few words (14)
+        (2, "the a " + " ".join(["extraordinarily"] * 60)),  # mean word len > 10
+        (3, "the a " + " ".join(["ab#"] * 60)),  # symbol ratio > 0.1
+        (4, "the a " + " ".join(["1234"] * 60)),  # alpha ratio < 0.8
+        (5, "the a\n" + "\n".join(["- bullet line here ok fine"] * 30)),  # bullets
+        (6, "the a\n" + "\n".join(["trailing words here..."] * 30)),  # ellipsis
+        (7, " ".join(["zebra"] * 60)),  # < 2 stopwords
+    ]
+
+
+def test_gopher_rules_verdicts_and_engine_parity(spark):
+    import duckdb
+
+    from project_gutenberg_full_text_search_spark.operators.textstats import (
+        gopher_rules,
+        gopher_rules_sql,
+    )
+
+    rows = _gopher_docs()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    # doc 0 passes every rule; docs 1-7 each trip exactly their rule
+    assert got[0]["keep"] is True
+    for d in range(1, 8):
+        assert got[d]["keep"] is False, (d, got[d])
+    assert got[1]["n_words"] == 14
+    assert got[2]["mean_word_len"] > 10
+    assert got[3]["symbol_word_ratio"] > 0.1
+    assert got[4]["alpha_word_ratio"] < 0.8
+    assert got[5]["bullet_line_frac"] > 0.9
+    assert got[6]["ellipsis_line_frac"] > 0.3
+    assert got[7]["n_stopwords"] < 2
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    exp = con.execute(
+        gopher_rules_sql("documents", "text") + " ORDER BY doc_id"
+    ).fetchall()
+    cols = [
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+        "n_stopwords", "keep",
+    ]
+    for row in exp:
+        d = dict(zip(cols, row))
+        assert got[d["doc_id"]] == d, d["doc_id"]
