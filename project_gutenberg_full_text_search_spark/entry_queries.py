@@ -1509,6 +1509,24 @@ def build_registry():
             FROM w LEFT JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)""",
     )
 
+    # ---- deterministic epoch shuffle (training read order) ----
+    def shuffle_q(spark, sf_dir):
+        from project_gutenberg_full_text_search_spark.operators.etl import (
+            shuffle_shards,
+        )
+
+        return shuffle_shards(_documents(spark, sf_dir), n_shards=8, seed=13)
+
+    from project_gutenberg_full_text_search_spark.operators.etl import (
+        shuffle_shards_sql,
+    )
+
+    reg(
+        "shuffle_train_order",
+        shuffle_q,
+        shuffle_shards_sql("documents", 8, seed=13),
+    )
+
     # ---- Gopher document-quality gate (rule signals + keep verdict) ----
     def gopher_q(spark, sf_dir):
         return textstats.gopher_rules(_documents(spark, sf_dir, spread=True), "text")

@@ -280,6 +280,63 @@ def group_cap_sample(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shard`` (uniform md5-hash bucket) and a 0-based ``pos`` within the
+    shard (ordered by hash, ties by id) — the reproducible random read
+    order a training loader consumes.
+
+    Why not ``ORDER BY rand()``: hash order is (a) a pure function of
+    row id + seed, so retries/repartitioning/engines all agree (DuckDB
+    twin: `shuffle_shards_sql`), and (b) shardable — no global sort.
+    Scale shape: one shuffle keyed by shard (hash-uniform by
+    construction, no skew) and a per-shard sort; pick ``n_shards`` so a
+    shard fits a task (e.g. 100 TB / 16k shards ≈ 6 GB sorts of just
+    (id, hash) pairs — the payload is re-joined by the loader, never
+    sorted). Changing the seed reshuffles every epoch deterministically.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql import Window
+
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_col,
+    )
+
+    h = seeded_hash_col(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.select(
+            F.col(id_col),
+            h.alias("_h"),
+            (h % n_shards).cast("int").alias("shard"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def shuffle_shards_sql(
+    table: str, n_shards: int, id_col: str = "doc_id", seed: int = 42
+) -> str:
+    """DuckDB twin of :func:`shuffle_shards` (identical shard + pos)."""
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_sql,
+    )
+
+    h = seeded_hash_sql(f"{id_col}::VARCHAR", seed)
+    return f"""SELECT {id_col},
+               ({h} % {n_shards})::INT AS shard,
+               (row_number() OVER (PARTITION BY ({h} % {n_shards})
+                                   ORDER BY {h}, {id_col}) - 1)::BIGINT AS pos
+        FROM {table}"""
+
+
 def pack_token_budget(
     df: DataFrame,
     budget: int,

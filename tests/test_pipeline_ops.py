@@ -1538,3 +1538,47 @@ def test_gopher_rules_verdicts_and_engine_parity(spark):
     for row in exp:
         d = dict(zip(cols, row))
         assert got[d["doc_id"]] == d, d["doc_id"]
+
+
+def test_shuffle_shards_is_deterministic_dense_permutation(spark):
+    from project_gutenberg_full_text_search_spark.functions.hashing import (
+        seeded_hash_py,
+    )
+    from project_gutenberg_full_text_search_spark.operators.etl import shuffle_shards
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    got = shuffle_shards(df, n_shards=4, seed=13).collect()
+    assert len(got) == 200
+
+    # python reference: same hash, same shard, same within-shard order
+    ref = sorted(
+        (seeded_hash_py(str(i), 13) % 4, seeded_hash_py(str(i), 13), i)
+        for i in range(200)
+    )
+    exp = {}
+    pos = {}
+    for sh, _, i in ref:
+        exp[i] = (sh, pos.get(sh, 0))
+        pos[sh] = pos.get(sh, 0) + 1
+    for r in got:
+        assert (r["shard"], r["pos"]) == exp[r["doc_id"]], r
+
+    # dense 0..k-1 positions per shard
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for sh, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), sh
+
+    # stable under physical repartitioning
+    again = shuffle_shards(df.repartition(7), n_shards=4, seed=13).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+    # a different seed is a different epoch order
+    other = shuffle_shards(df, n_shards=4, seed=14).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, got))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, n_shards=0)
