@@ -35,6 +35,7 @@ from project_gutenberg_full_text_search_spark.operators import (
     dedup,
     ivf,
     similarity,
+    temporal,
     textstats,
 )
 from project_gutenberg_full_text_search_spark.operators.bm25 import (
@@ -1684,6 +1685,119 @@ def build_registry():
             SELECT doc_id, cid::INT AS chunk_id, chunk_uid, bucket, n_tokens,
                    floor((greatest(cum, 1) - 1) / 256)::BIGINT AS pack_id
             FROM pc""",
+    )
+
+    # ---- temporal family: sessionize / as-of join / interval join ----
+    def ev_sessionize(spark, sf_dir):
+        e = _read(spark, sf_dir, "events")
+        s = temporal.sessionize(
+            e, key_col="user_id", ts_col="ts", gap_sec=7200, tiebreak_col="event_id"
+        )
+        return (
+            s.groupBy("user_id", "session_seq")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("ts").alias("start_ts"),
+                F.max("ts").alias("end_ts"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("user_id", "session_seq")
+        )
+
+    reg(
+        "events_sessionize",
+        ev_sessionize,
+        """WITH o AS (SELECT user_id, event_id, ts, value,
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_ts
+                      FROM events),
+           b AS (SELECT user_id, event_id, ts, value,
+                        CASE WHEN prev_ts IS NULL
+                                  OR epoch(ts - prev_ts) > 7200 THEN 1
+                             ELSE 0 END AS brk
+                 FROM o),
+           s AS (SELECT user_id, ts, value,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+                 FROM b)
+           SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+                  min(ts) AS start_ts, max(ts) AS end_ts,
+                  round(sum(value), 2) AS total_value
+           FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    )
+
+    def ev_asof(spark, sf_dir):
+        e = _read(spark, sf_dir, "events")
+        anchors = (
+            e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("pval"))
+        )
+        joined = temporal.asof_join(
+            e.select("event_id", "user_id", "ts"), anchors, "user_id"
+        )
+        return (
+            joined.filter(F.col("event_id") % 20 == 0)
+            .select(
+                "event_id",
+                "user_id",
+                "ts",
+                F.col("ts_asof").alias("last_purchase_ts"),
+                F.round("pval", 2).alias("last_purchase_value"),
+            )
+            .orderBy("event_id")
+        )
+
+    reg(
+        "events_asof_last_purchase",
+        ev_asof,
+        """WITH r AS (SELECT user_id, ts AS pts, max(value) AS pval
+                      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+           SELECT e.event_id, e.user_id, e.ts,
+                  r.pts AS last_purchase_ts,
+                  round(r.pval, 2) AS last_purchase_value
+           FROM events e ASOF LEFT JOIN r
+             ON e.user_id = r.user_id AND e.ts >= r.pts
+           WHERE e.event_id % 20 = 0
+           ORDER BY e.event_id""",
+    )
+
+    _BANDS = [(1, 0.0, 100.0), (2, 100.0, 250.0), (3, 250.0, 500.0)]
+
+    def ev_band_join(spark, sf_dir):
+        e = _read(spark, sf_dir, "events")
+        bands = spark.createDataFrame(
+            _BANDS, "band_id int, lo double, hi double"
+        )
+        # binned strategy on purpose: the driver gate exercises the
+        # large-interval-table scale path, not just the broadcast one
+        j = temporal.interval_join(
+            e.select("event_id", "value"),
+            bands,
+            "value",
+            "lo",
+            "hi",
+            strategy="binned",
+            bin_width=50.0,
+        )
+        return (
+            j.groupBy("band_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("band_id")
+        )
+
+    _band_values = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+    reg(
+        "events_value_band_join",
+        ev_band_join,
+        f"""WITH bands(band_id, lo, hi) AS (VALUES {_band_values})
+            SELECT band_id::INT AS band_id, count(*)::BIGINT AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events JOIN bands ON value BETWEEN lo AND hi
+            GROUP BY 1 ORDER BY 1""",
     )
 
     return queries, oracles
