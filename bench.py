@@ -141,6 +141,7 @@ def main() -> None:
         "sf": sf,
         "queries": {},
         "p95_query_sec": None,
+        "queries_pipeline": {},
         "queries_50k": {},
         "build": {},
         "scaling": {},
@@ -201,6 +202,32 @@ def main() -> None:
     p95 = sorted_t[max(0, int(round(0.95 * len(sorted_t))) - 1)]
     result["queries"] = qtimes
     result["p95_query_sec"] = p95
+    emit()
+
+    # ---- round-5 pipeline plane (own section + p95 so the headline set
+    # stays population-identical with earlier rounds) ----
+    # dedup_neardup_clusters is deliberately absent: it is an ITERATIVE
+    # label-propagation algorithm (one Spark job per round until
+    # convergence), not a query — its ~15 s at sf0.1 is round-scheduling
+    # overhead that would swamp a p95 meant to track per-query plans.
+    pipeline_names = [
+        "quality_gopher_rules", "events_sessionize", "events_asof_last_purchase",
+        "pack_token_shards", "contam_ngram_hits", "ann_ivf_top5",
+        "chunk_sliding_windows", "shuffle_train_order", "text_repetition_profile",
+        "sample_group_cap",
+    ]
+    ptimes: dict[str, float] = {}
+    for name in pipeline_names:
+        fn = queries[name]
+        fn(spark, sf_dir).collect()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        ptimes[name] = round(time.time() - t0, 3)
+    psorted = sorted(ptimes.values())
+    result["queries_pipeline"] = {
+        "queries": ptimes,
+        "p95_query_sec": psorted[max(0, int(round(0.95 * len(psorted))) - 1)],
+    }
     emit()
 
     # ---- data-dominated query phase: 50k-doc (~650 MB-ish) corpus so

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from project_gutenberg_full_text_search_spark.functions.hashing import md5_long_col
+from project_gutenberg_full_text_search_spark.functions.text import tokens_col
 from project_gutenberg_full_text_search_spark.operators.dedup import shingles_expr
 
 
@@ -52,14 +53,23 @@ def ngram_overlap(
     for hits — the clean 99.99% of a corpus never leaves the map side.
     """
     ref_text_col = ref_text_col or text_col
+    # tokens materialized per side: shingles_expr's HOF lambda would
+    # otherwise re-run the regex tokenizer once per shingle (CodegenFallback,
+    # no subexpression elimination) — measured 8-10x on this scan.
     ref_sh = (
-        ref.select(F.explode(shingles_expr(ref_text_col, n)).alias("sh"))
+        ref.withColumn("_toks", tokens_col(ref_text_col))
+        .select(F.explode(shingles_expr(ref_text_col, n, toks=F.col("_toks"))).alias("sh"))
         .select(md5_long_col("sh").alias("sh_h"))
         .distinct()
     )
-    doc_sh = docs.select(
-        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("sh")
-    ).select(id_col, md5_long_col("sh").alias("sh_h"))
+    doc_sh = (
+        docs.withColumn("_toks", tokens_col(text_col))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_expr(text_col, n, toks=F.col("_toks"))).alias("sh"),
+        )
+        .select(id_col, md5_long_col("sh").alias("sh_h"))
+    )
     hits = doc_sh.join(ref_sh, "sh_h")
     out = hits.groupBy(id_col).agg(F.count("*").alias("n_overlap"))
     if min_overlap > 1:

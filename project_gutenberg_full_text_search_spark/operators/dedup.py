@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from project_gutenberg_full_text_search_spark.functions.hashing import md5_long_col
@@ -56,12 +56,19 @@ def exact_dedup(df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
 # ---------------------------------------------------------------------------
 
 
-def shingles_expr(text_col: str, n: int = 3):
+def shingles_expr(text_col: str, n: int = 3, toks: Column | None = None):
     """Distinct n-token shingles, JVM-side (no UDF).
 
     Guarded for docs with < n tokens (Spark's sequence(1, 0) counts DOWN,
-    it does not return empty)."""
-    toks = tokens_col(text_col)
+    it does not return empty).
+
+    Pass ``toks`` as a MATERIALIZED column (``withColumn`` then reference)
+    on hot paths: higher-order functions are CodegenFallback and sit
+    outside whole-stage codegen's subexpression elimination, so an
+    implicit ``tokens_col`` here re-runs the regex tokenizer once per
+    SHINGLE (measured 8-10x on the contamination scan; same trap as
+    textstats.text_profile)."""
+    toks = tokens_col(text_col) if toks is None else toks
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -211,8 +218,9 @@ def minhash_dedup_pairs(
     """
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
     cands = lsh_candidate_pairs(lsh_bands(sigs, bands, rows, id_col), id_col)
-    sh = df.select(
-        F.col(id_col), shingles_expr(text_col, shingle_n).alias("sh")
+    sh = df.withColumn("_toks", tokens_col(text_col)).select(
+        F.col(id_col),
+        shingles_expr(text_col, shingle_n, toks=F.col("_toks")).alias("sh"),
     )
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -262,7 +270,10 @@ def ngram_jaccard_pairs(
     pair shares only boilerplate, which is exactly the noise the cap
     exists to ignore.
     """
-    sh = df.select(F.col(id_col), shingles_expr(text_col, shingle_n).alias("sh"))
+    sh = df.withColumn("_toks", tokens_col(text_col)).select(
+        F.col(id_col),
+        shingles_expr(text_col, shingle_n, toks=F.col("_toks")).alias("sh"),
+    )
     if max_shingle_df is None:
         sized = sh.select(
             F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
