@@ -274,10 +274,18 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         shingles_expr(text_col, shingle_n, toks=F.col("_toks")).alias("sh"),
     )
+    # explode_outer, NOT explode: for a plain explode of an attribute,
+    # InferFiltersFromGenerate adds `size(sh)>0 AND isnotnull(sh)` and
+    # PushDownPredicates substitutes the alias chain back to raw text —
+    # putting the per-shingle tokenizer lambda inside the pushed filter
+    # (measured 20s vs 0.6s on a 5k-doc scan). explode_outer infers no
+    # filter; the explicit isNotNull on the GENERATOR OUTPUT stays above
+    # the Generate (g does not exist below it) and restores inner-explode
+    # row semantics exactly.
     if max_shingle_df is None:
         sized = sh.select(
-            F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
-        )
+            F.col(id_col), F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("g")
+        ).filter(F.col("g").isNotNull())
         a = sized.select(
             F.col("g"), F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")
         )
@@ -299,7 +307,10 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
     # capped path: candidates from sub-cap shingles only, exact verify
-    ex = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    # (explode_outer + isNotNull for the same inferred-filter reason)
+    ex = sh.select(F.col(id_col), F.explode_outer("sh").alias("g")).filter(
+        F.col("g").isNotNull()
+    )
     keep_g = (
         ex.groupBy("g")
         .agg(F.count("*").alias("df_g"))
