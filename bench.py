@@ -284,7 +284,12 @@ def main() -> None:
     # ---- scaling phase ----
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "50000"))
+        # 32k (~420 MB at ~13 KB/doc): still data-dominated at both levels,
+        # but a paired round costs ~385 s warm vs ~480 s at 50k — the
+        # difference between TWO best-per-level rounds and one unprotected
+        # round when the shared host degrades (r5 observed a 1-round run
+        # whose disturbed lo produced a meaningless 1.64 "efficiency").
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "32000"))
         levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
         n_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
         max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "5"))
@@ -372,8 +377,8 @@ def main() -> None:
             if len(rounds) >= max_rounds:
                 break
             remaining = budget_sec - (time.time() - t_suite)
-            # first round: assume ~2x a lo-level steady-state build + hi
-            # samples ≈ 450 s; later rounds: 1.1x the measured last round
+            # first round: warm-round estimate at 32k docs incl. one-time
+            # corpus gen ≈ 450 s; later rounds: 1.1x the measured last round
             est = 1.1 * round_cost if round_cost else 450.0
             if remaining < est:
                 break
@@ -397,6 +402,9 @@ def main() -> None:
                 len(rounds) >= n_rounds
                 and _top_two_close("lo_docs_per_sec")
                 and _top_two_close("hi_docs_per_sec")
+                # super-linear headline = a disturbed LOW run is still the
+                # per-level max; physically impossible, so keep sampling
+                and scaling.get("efficiency", 0.0) <= 1.05
             ):
                 break
         if rounds:
