@@ -230,58 +230,13 @@ def main() -> None:
     }
     emit()
 
-    # ---- data-dominated query phase: 50k-doc (~650 MB-ish) corpus so
-    # query wall time reflects data work, not local-mode job overhead ----
-    big = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_BIGQ", "1") != "0":
-        from project_gutenberg_full_text_search_spark.corpus import gen_corpus
-        from project_gutenberg_full_text_search_spark.operators.bm25 import (
-            IndexHandle, bm25_topk,
-        )
-        from project_gutenberg_full_text_search_spark.operators.contains import (
-            contains_search,
-        )
-        from project_gutenberg_full_text_search_spark.operators.fuzzy import fuzzy_search
-
-        n_big = int(os.environ.get("SPARK_GRAFT_BIGQ_DOCS", "50000"))
-        scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-        big_docs_path = os.path.join(scratch, f"pgfts_scal_docs_{n_big}_8.0")
-        if not os.path.exists(big_docs_path):
-            gen_corpus(spark, n_big, seed=42, partitions=128,
-                       length_scale=8.0).write.mode("overwrite").parquet(big_docs_path)
-        big_docs = spark.read.parquet(big_docs_path)
-        big_idx = os.path.join(scratch, f"pgfts_bigq_idx_{n_big}")
-        build_index(spark, big_docs, big_idx, resume=True,
-                    input_fingerprint=f"bigq{n_big}")
-        h = IndexHandle.open(spark, big_idx)
-        big_queries = {
-            "fts_single_hot": lambda: bm25_topk(h, "merge", k=20),
-            "fts_and": lambda: bm25_topk(h, "merge query", k=20),
-            "fts_or": lambda: bm25_topk(h, "scan or stream", k=20),
-            "fts_not": lambda: bm25_topk(h, "merge -slow", k=20),
-            "fts_phrase": lambda: bm25_topk(h, '"block max wand"', k=20),
-            "fts_rare": lambda: bm25_topk(h, "uniq_1500_0", k=5),
-            "fuzzy_typo": lambda: fuzzy_search(h, "querry", k=25),
-            "contains_frag": lambda: contains_search(
-                h, big_docs, "max wand", text_col="content"
-            ).select("doc_id"),
-        }
-        bq: dict[str, float] = {}
-        for name, fn in big_queries.items():
-            fn().collect()
-            t0 = time.time()
-            fn().collect()
-            bq[name] = round(time.time() - t0, 3)
-        bsorted = sorted(bq.values())
-        big = {
-            "n_docs": n_big,
-            "queries": bq,
-            "p95_query_sec": bsorted[max(0, int(round(0.95 * len(bsorted))) - 1)],
-        }
-    result["queries_50k"] = big
-    emit()
 
     # ---- scaling phase ----
+    # Runs BEFORE the 50k data-dominated phase: the N->4N scaling
+    # efficiency is the contract's north rule, so it gets first claim on
+    # whatever budget remains after the (cheap) query phases. On a
+    # degraded host the 50k phase could otherwise consume the entire
+    # remainder and leave scaling with zero rounds.
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         # 32k (~420 MB at ~13 KB/doc): still data-dominated at both levels,
@@ -299,6 +254,30 @@ def main() -> None:
         lo_samples = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES_LO", "1"))
         hi_samples = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES_HI", "3"))
         lo, hi = int(levels[0]), int(levels[1])
+
+        # DEGRADED-HOST ADAPTATION. The 450 s first-round estimate below
+        # is a clean-box number; this shared VM has been observed running
+        # ~3x slower for hours at a time, and a paired round that can't
+        # finish inside the remaining budget wastes the budget AND yields
+        # no efficiency number (the north rule). Host slowness is inferred
+        # from the measured sf-build rate vs the recorded clean-box rate
+        # (497 docs/s, BASELINE.md round 5); when even one slowness-scaled
+        # 32k round doesn't fit, the corpus drops 32k -> 16k (round cost
+        # is ~linear in docs; the 50k->32k validation showed the
+        # efficiency RATIO is insensitive to corpus size). Explicit
+        # SPARK_GRAFT_SCALING_DOCS disables the adaptation.
+        CLEAN_BUILD_RATE = 497.0
+        _measured_rate = max(float(build.get("docs_per_sec", CLEAN_BUILD_RATE)), 50.0)
+        slowness = min(4.0, max(1.0, CLEAN_BUILD_RATE / _measured_rate))
+        round_est = 450.0 * slowness * (n_scale / 32000.0)
+        if (
+            "SPARK_GRAFT_SCALING_DOCS" not in os.environ
+            and round_est > budget_sec - (time.time() - t_suite)
+            and n_scale > 16000
+        ):
+            n_scale = 16000
+            round_est /= 2.0
+            scaling["corpus_shrunk_for_budget"] = True
 
         # pre-generate the scaling corpus from THIS 32-core session so the
         # first (CPU-pinned, 2-core) worker doesn't pay generation time
@@ -377,9 +356,14 @@ def main() -> None:
             if len(rounds) >= max_rounds:
                 break
             remaining = budget_sec - (time.time() - t_suite)
-            # first round: warm-round estimate at 32k docs incl. one-time
-            # corpus gen ≈ 450 s; later rounds: 1.1x the measured last round
-            est = 1.1 * round_cost if round_cost else 450.0
+            # first round: slowness-scaled warm-round estimate (computed
+            # above, incl one-time corpus gen); later: 1.1x measured wall.
+            # The first attempt is gated at min(estimate, 300 s) rather
+            # than the full estimate: with ≥300 s left a truncated attempt
+            # may still complete (estimates overshoot on recovering hosts)
+            # and beats a missing north-rule number — every earlier phase
+            # is already emitted, so the downside is bounded.
+            est = 1.1 * round_cost if round_cost else min(round_est, 300.0)
             if remaining < est:
                 break
             t_round = time.time()
@@ -425,6 +409,73 @@ def main() -> None:
             )
             result["scaling"] = scaling
 
+    # ---- data-dominated query phase: 50k-doc (~650 MB-ish) corpus so
+    # query wall time reflects data work, not local-mode job overhead ----
+    # BUDGET GATE: this phase is the most expendable evidence in the
+    # suite (the headline p95 + scaling number above carry the contract),
+    # so it only runs when the remaining budget plausibly covers it:
+    # corpus gen + index build (sized from the measured sf build rate)
+    # + 16 warm/timed collects. A mid-phase kill would still keep every
+    # prior phase (last-line-wins emit), but skipping cleanly records WHY.
+    big = {}
+    _bigq_n = int(os.environ.get("SPARK_GRAFT_BIGQ_DOCS", "50000"))
+    _bigq_rate = max(build.get("docs_per_sec", 400.0), 50.0)
+    _bigq_est = 1.5 * _bigq_n / _bigq_rate + 180.0
+    _bigq_remaining = budget_sec - (time.time() - t_suite)
+    if _bigq_remaining < _bigq_est:
+        big = {
+            "skipped": "budget",
+            "estimated_sec": round(_bigq_est, 1),
+            "remaining_sec": round(_bigq_remaining, 1),
+        }
+        result["queries_50k"] = big
+        emit()
+    elif os.environ.get("SPARK_GRAFT_BENCH_BIGQ", "1") != "0":
+        from project_gutenberg_full_text_search_spark.corpus import gen_corpus
+        from project_gutenberg_full_text_search_spark.operators.bm25 import (
+            IndexHandle, bm25_topk,
+        )
+        from project_gutenberg_full_text_search_spark.operators.contains import (
+            contains_search,
+        )
+        from project_gutenberg_full_text_search_spark.operators.fuzzy import fuzzy_search
+
+        n_big = int(os.environ.get("SPARK_GRAFT_BIGQ_DOCS", "50000"))
+        scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        big_docs_path = os.path.join(scratch, f"pgfts_scal_docs_{n_big}_8.0")
+        if not os.path.exists(big_docs_path):
+            gen_corpus(spark, n_big, seed=42, partitions=128,
+                       length_scale=8.0).write.mode("overwrite").parquet(big_docs_path)
+        big_docs = spark.read.parquet(big_docs_path)
+        big_idx = os.path.join(scratch, f"pgfts_bigq_idx_{n_big}")
+        build_index(spark, big_docs, big_idx, resume=True,
+                    input_fingerprint=f"bigq{n_big}")
+        h = IndexHandle.open(spark, big_idx)
+        big_queries = {
+            "fts_single_hot": lambda: bm25_topk(h, "merge", k=20),
+            "fts_and": lambda: bm25_topk(h, "merge query", k=20),
+            "fts_or": lambda: bm25_topk(h, "scan or stream", k=20),
+            "fts_not": lambda: bm25_topk(h, "merge -slow", k=20),
+            "fts_phrase": lambda: bm25_topk(h, '"block max wand"', k=20),
+            "fts_rare": lambda: bm25_topk(h, "uniq_1500_0", k=5),
+            "fuzzy_typo": lambda: fuzzy_search(h, "querry", k=25),
+            "contains_frag": lambda: contains_search(
+                h, big_docs, "max wand", text_col="content"
+            ).select("doc_id"),
+        }
+        bq: dict[str, float] = {}
+        for name, fn in big_queries.items():
+            fn().collect()
+            t0 = time.time()
+            fn().collect()
+            bq[name] = round(time.time() - t0, 3)
+        bsorted = sorted(bq.values())
+        big = {
+            "n_docs": n_big,
+            "queries": bq,
+            "p95_query_sec": bsorted[max(0, int(round(0.95 * len(bsorted))) - 1)],
+        }
+    result["queries_50k"] = big
     emit()
 
 

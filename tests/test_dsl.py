@@ -509,7 +509,7 @@ def test_opds_crosswalk_parity_fields(fts, meta_pdf):
     if marc508:
         assert md["modified"] == marc508[0]["text"].split("Updated:")[1].strip().split()[0].rstrip(".")
     desc = md.get("description", "")
-    if dc["summary"]:
+    if len(dc["summary"]):
         assert dc["summary"][0] in desc
     if dc["rights"]:
         assert "Rights: " + dc["rights"] in desc
