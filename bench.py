@@ -257,27 +257,29 @@ def main() -> None:
 
         # DEGRADED-HOST ADAPTATION. The 450 s first-round estimate below
         # is a clean-box number; this shared VM has been observed running
-        # ~3x slower for hours at a time, and a paired round that can't
-        # finish inside the remaining budget wastes the budget AND yields
-        # no efficiency number (the north rule). Host slowness is inferred
-        # from the measured sf-build rate vs the recorded clean-box rate
-        # (497 docs/s, BASELINE.md round 5); when even one slowness-scaled
-        # 32k round doesn't fit, the corpus drops 32k -> 16k (round cost
-        # is ~linear in docs; the 50k->32k validation showed the
-        # efficiency RATIO is insensitive to corpus size). Explicit
-        # SPARK_GRAFT_SCALING_DOCS disables the adaptation.
+        # 3-6x slower for hours at a time (2026-08-18: sf build 78.5
+        # docs/s vs the clean 497), and the best-per-level estimator NEEDS
+        # >=2 rounds — a rehearsal on the degraded box fit exactly ONE
+        # 16k round whose disturbed lo sample produced a physically
+        # impossible 1.63 "efficiency". Host slowness is inferred from
+        # the measured sf-build rate vs the recorded clean-box rate
+        # (497 docs/s, BASELINE.md round 5); the corpus then halves
+        # (32k -> 16k -> 8k floor) until TWO slowness-scaled rounds fit
+        # the remaining budget. Round cost is ~linear in docs and the
+        # 50k->32k validation showed the efficiency RATIO is insensitive
+        # to corpus size; the shrink only engages on slow hosts, where
+        # per-sample walls stay long enough to remain data-dominated.
+        # Explicit SPARK_GRAFT_SCALING_DOCS disables the adaptation.
         CLEAN_BUILD_RATE = 497.0
         _measured_rate = max(float(build.get("docs_per_sec", CLEAN_BUILD_RATE)), 50.0)
         slowness = min(4.0, max(1.0, CLEAN_BUILD_RATE / _measured_rate))
         round_est = 450.0 * slowness * (n_scale / 32000.0)
-        if (
-            "SPARK_GRAFT_SCALING_DOCS" not in os.environ
-            and round_est > budget_sec - (time.time() - t_suite)
-            and n_scale > 16000
-        ):
-            n_scale = 16000
-            round_est /= 2.0
-            scaling["corpus_shrunk_for_budget"] = True
+        if "SPARK_GRAFT_SCALING_DOCS" not in os.environ:
+            _remaining = budget_sec - (time.time() - t_suite)
+            while n_scale > 8000 and 2.0 * round_est > _remaining:
+                n_scale //= 2
+                round_est /= 2.0
+                scaling["corpus_shrunk_for_budget"] = n_scale
 
         # pre-generate the scaling corpus from THIS 32-core session so the
         # first (CPU-pinned, 2-core) worker doesn't pay generation time
@@ -335,13 +337,21 @@ def main() -> None:
                 return
             thr_lo = max(r["lo_docs_per_sec"] for r in rounds)
             thr_hi = max(r["hi_docs_per_sec"] for r in rounds)
+            eff = round(thr_hi / (thr_lo * (hi / lo)), 3)
             scaling.update(
                 {
                     "n_docs": n_scale,
                     f"local[{lo}]_docs_per_sec": thr_lo,
                     f"local[{hi}]_docs_per_sec": thr_hi,
                     "parallelism_ratio": hi // lo,
-                    "efficiency": round(thr_hi / (thr_lo * (hi / lo)), 3),
+                    "efficiency": eff,
+                    # the best-per-level estimator needs >=2 rounds to
+                    # suppress single-run host disturbance, and a
+                    # super-linear headline is physically impossible (a
+                    # disturbed LOW sample is still the per-level max);
+                    # consumers should treat converged=false numbers as
+                    # host noise, not engine behavior
+                    "converged": len(rounds) >= 2 and eff <= 1.05,
                     "rounds": rounds,
                 }
             )
@@ -422,6 +432,16 @@ def main() -> None:
     _bigq_rate = max(build.get("docs_per_sec", 400.0), 50.0)
     _bigq_est = 1.5 * _bigq_n / _bigq_rate + 180.0
     _bigq_remaining = budget_sec - (time.time() - t_suite)
+    _bigq_shrunk = False
+    if _bigq_remaining < _bigq_est and "SPARK_GRAFT_BIGQ_DOCS" not in os.environ:
+        # shrink-to-fit before giving up: a 10-20k data-dominated phase
+        # on a slow host (per-sample walls stay long) beats no phase.
+        # 240 s headroom covers gen + fixed overhead under-estimation.
+        _fit = int((_bigq_remaining - 240.0) * _bigq_rate / 1.5)
+        if _fit >= 10000:
+            _bigq_n = (_fit // 1000) * 1000
+            _bigq_est = 1.5 * _bigq_n / _bigq_rate + 180.0
+            _bigq_shrunk = True
     if _bigq_remaining < _bigq_est:
         big = {
             "skipped": "budget",
@@ -440,7 +460,7 @@ def main() -> None:
         )
         from project_gutenberg_full_text_search_spark.operators.fuzzy import fuzzy_search
 
-        n_big = int(os.environ.get("SPARK_GRAFT_BIGQ_DOCS", "50000"))
+        n_big = _bigq_n
         scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
         big_docs_path = os.path.join(scratch, f"pgfts_scal_docs_{n_big}_8.0")
         if not os.path.exists(big_docs_path):
@@ -475,6 +495,8 @@ def main() -> None:
             "queries": bq,
             "p95_query_sec": bsorted[max(0, int(round(0.95 * len(bsorted))) - 1)],
         }
+        if _bigq_shrunk:
+            big["corpus_shrunk_for_budget"] = n_big
     result["queries_50k"] = big
     emit()
 
