@@ -204,39 +204,14 @@ def main() -> None:
     result["p95_query_sec"] = p95
     emit()
 
-    # ---- round-5 pipeline plane (own section + p95 so the headline set
-    # stays population-identical with earlier rounds) ----
-    # dedup_neardup_clusters is deliberately absent: it is an ITERATIVE
-    # label-propagation algorithm (one Spark job per round until
-    # convergence), not a query — its ~15 s at sf0.1 is round-scheduling
-    # overhead that would swamp a p95 meant to track per-query plans.
-    pipeline_names = [
-        "quality_gopher_rules", "events_sessionize", "events_asof_last_purchase",
-        "pack_token_shards", "contam_ngram_hits", "ann_ivf_top5",
-        "chunk_sliding_windows", "shuffle_train_order", "text_repetition_profile",
-        "sample_group_cap",
-    ]
-    ptimes: dict[str, float] = {}
-    for name in pipeline_names:
-        fn = queries[name]
-        fn(spark, sf_dir).collect()  # warm
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        ptimes[name] = round(time.time() - t0, 3)
-    psorted = sorted(ptimes.values())
-    result["queries_pipeline"] = {
-        "queries": ptimes,
-        "p95_query_sec": psorted[max(0, int(round(0.95 * len(psorted))) - 1)],
-    }
-    emit()
-
-
     # ---- scaling phase ----
-    # Runs BEFORE the 50k data-dominated phase: the N->4N scaling
+    # Runs BEFORE the pipeline-query and 50k phases: the N->4N scaling
     # efficiency is the contract's north rule, so it gets first claim on
-    # whatever budget remains after the (cheap) query phases. On a
-    # degraded host the 50k phase could otherwise consume the entire
-    # remainder and leave scaling with zero rounds.
+    # whatever budget remains after the (cheap) headline query phase. On
+    # a degraded host the secondary phases could otherwise consume the
+    # entire remainder and leave scaling with zero rounds (observed:
+    # a 6x-slow window burned ~420 s on queries and both scaling
+    # workers then died on the budget cap).
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         # 32k (~420 MB at ~13 KB/doc): still data-dominated at both levels,
@@ -272,11 +247,18 @@ def main() -> None:
         # Explicit SPARK_GRAFT_SCALING_DOCS disables the adaptation.
         CLEAN_BUILD_RATE = 497.0
         _measured_rate = max(float(build.get("docs_per_sec", CLEAN_BUILD_RATE)), 50.0)
-        slowness = min(4.0, max(1.0, CLEAN_BUILD_RATE / _measured_rate))
+        # cap 8 (was 4): a 6x-degraded window under the old cap produced a
+        # round_est ~2/3 of reality, scheduled a round that could not fit,
+        # and both workers died on the cap with nothing published
+        slowness = min(8.0, max(1.0, CLEAN_BUILD_RATE / _measured_rate))
         round_est = 450.0 * slowness * (n_scale / 32000.0)
         if "SPARK_GRAFT_SCALING_DOCS" not in os.environ:
             _remaining = budget_sec - (time.time() - t_suite)
-            while n_scale > 8000 and 2.0 * round_est > _remaining:
+            # floor 4k (was 8k): at ~10 KB/doc a 4k build is still tens of
+            # seconds per sample on the degraded hosts that trigger this
+            # path (per-sample walls stay data-dominated there; fast hosts
+            # never shrink this far)
+            while n_scale > 4000 and 2.0 * round_est > _remaining:
                 n_scale //= 2
                 round_est /= 2.0
                 scaling["corpus_shrunk_for_budget"] = n_scale
@@ -292,6 +274,12 @@ def main() -> None:
                        length_scale=8.0).write.mode("overwrite").parquet(scal_docs)
 
         def _run_worker(c, samples=None):
+            # failed workers RECORD why (timeout vs crash + stderr tail)
+            # into the published scaling dict: an empty/short scaling
+            # result must be attributable to host conditions, not read as
+            # an engine failure (observed: a 6x-degraded host window made
+            # both workers exceed the cap and the suite published
+            # scaling={} with zero diagnostics).
             args = [sys.executable, os.path.abspath(__file__), "--scaling-worker",
                     str(c), str(n_scale)]
             if samples:
@@ -306,9 +294,22 @@ def main() -> None:
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
             except subprocess.TimeoutExpired:
+                scaling.setdefault("worker_failures", []).append(
+                    {"cpus": c, "reason": f"timeout>{round(worker_cap)}s"}
+                )
+                result["scaling"] = scaling
+                emit()
                 return None
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-            return json.loads(line[-1]) if line else None
+            if not line:
+                scaling.setdefault("worker_failures", []).append(
+                    {"cpus": c, "reason": f"rc={out.returncode}",
+                     "stderr_tail": out.stderr[-400:]}
+                )
+                result["scaling"] = scaling
+                emit()
+                return None
+            return json.loads(line[-1])
 
         # MULTI-ROUND, BEST-PER-LEVEL estimator. This VM shows ±10-25%
         # wall drift across process launches (invisible host-level
@@ -377,9 +378,15 @@ def main() -> None:
             if remaining < est:
                 break
             t_round = time.time()
-            r_lo, r_hi = _run_worker(lo, samples=lo_samples), _run_worker(
-                hi, samples=hi_samples
-            )
+            r_lo = _run_worker(lo, samples=lo_samples)
+            lo_wall = time.time() - t_round
+            # a hi sample is ~lo_wall/4 of work-time but carries the same
+            # fixed JVM+warmup cost; when the remaining budget is under
+            # ~2.5 lo-walls, drop hi to ONE timed sample — a completed
+            # 1-sample round beats a 3-sample worker killed on the cap
+            _rem_after_lo = budget_sec - (time.time() - t_suite)
+            _hs = hi_samples if _rem_after_lo > 2.5 * lo_wall else 1
+            r_hi = _run_worker(hi, samples=_hs) if r_lo else None
             round_cost = time.time() - t_round
             if r_lo and r_hi:
                 rounds.append(
@@ -418,6 +425,32 @@ def main() -> None:
                 "bench._scaling_worker docstring and BASELINE.md."
             )
             result["scaling"] = scaling
+
+    # ---- round-5 pipeline plane (own section + p95 so the headline set
+    # stays population-identical with earlier rounds) ----
+    # dedup_neardup_clusters is deliberately absent: it is an ITERATIVE
+    # label-propagation algorithm (one Spark job per round until
+    # convergence), not a query — its ~15 s at sf0.1 is round-scheduling
+    # overhead that would swamp a p95 meant to track per-query plans.
+    pipeline_names = [
+        "quality_gopher_rules", "events_sessionize", "events_asof_last_purchase",
+        "pack_token_shards", "contam_ngram_hits", "ann_ivf_top5",
+        "chunk_sliding_windows", "shuffle_train_order", "text_repetition_profile",
+        "sample_group_cap",
+    ]
+    ptimes: dict[str, float] = {}
+    for name in pipeline_names:
+        fn = queries[name]
+        fn(spark, sf_dir).collect()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        ptimes[name] = round(time.time() - t0, 3)
+    psorted = sorted(ptimes.values())
+    result["queries_pipeline"] = {
+        "queries": ptimes,
+        "p95_query_sec": psorted[max(0, int(round(0.95 * len(psorted))) - 1)],
+    }
+    emit()
 
     # ---- data-dominated query phase: 50k-doc (~650 MB-ish) corpus so
     # query wall time reflects data work, not local-mode job overhead ----

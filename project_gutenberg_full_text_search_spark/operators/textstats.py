@@ -270,8 +270,16 @@ def gopher_rules(
     corpus size and is the cheap first stage before the (shuffling)
     repetition_profile / dedup stages.
     """
-    ws = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
-    lines = F.split(F.col(text_col), r"\n")
+    # MATERIALIZE the two splits once (same pattern text_profile uses):
+    # ws feeds five rule expressions, three of them inputs to
+    # higher-order-function lambdas. Codegen's subexpression elimination
+    # happens to dedupe the repeated split subtrees today, but that is an
+    # optimizer artifact of everything landing in one Project — a named
+    # column makes single-evaluation STRUCTURAL (robust to the
+    # expressions being split across operators or falling back to
+    # interpreted eval). Measured perf-neutral at sf0.1 (±noise).
+    ws = F.col("_ws")
+    lines = F.col("_lines")
     n = F.size(ws)
     nz = F.greatest(n, F.lit(1))
     n_lines_z = F.greatest(F.size(lines), F.lit(1))
@@ -298,26 +306,43 @@ def gopher_rules(
             F.array(*[F.lit(s) for s in EN_STOPWORDS]),
         )
     )
-    keep = (
-        (n >= min_words)
-        & (n <= max_words)
-        & (mean_wl >= min_mean_word_len)
-        & (mean_wl <= max_mean_word_len)
-        & (symbol_ratio <= max_symbol_word_ratio)
-        & (alpha_ratio >= min_alpha_word_ratio)
-        & (bullet_frac <= max_bullet_line_frac)
-        & (ellipsis_frac <= max_ellipsis_line_frac)
-        & (n_stop >= min_stopwords)
+    # raw signals materialize once here; `keep` then compares the RAW
+    # doubles (columns, not re-evaluated lambda trees) and the final
+    # select applies display rounding — each HOF runs exactly once/row
+    raw = (
+        df.withColumn("_ws", F.array_remove(F.split(F.col(text_col), r"\s+"), ""))
+        .withColumn("_lines", F.split(F.col(text_col), r"\n"))
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_words"),
+            mean_wl.alias("_mean_wl"),
+            symbol_ratio.alias("_symbol_ratio"),
+            alpha_ratio.alias("_alpha_ratio"),
+            bullet_frac.alias("_bullet_frac"),
+            ellipsis_frac.alias("_ellipsis_frac"),
+            n_stop.cast("int").alias("n_stopwords"),
+        )
     )
-    return df.select(
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("_mean_wl") >= min_mean_word_len)
+        & (F.col("_mean_wl") <= max_mean_word_len)
+        & (F.col("_symbol_ratio") <= max_symbol_word_ratio)
+        & (F.col("_alpha_ratio") >= min_alpha_word_ratio)
+        & (F.col("_bullet_frac") <= max_bullet_line_frac)
+        & (F.col("_ellipsis_frac") <= max_ellipsis_line_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return raw.select(
         F.col(id_col),
-        n.cast("long").alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
-        F.round(bullet_frac, 4).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
-        n_stop.cast("int").alias("n_stopwords"),
+        F.col("n_words"),
+        F.round("_mean_wl", 4).alias("mean_word_len"),
+        F.round("_symbol_ratio", 4).alias("symbol_word_ratio"),
+        F.round("_alpha_ratio", 4).alias("alpha_word_ratio"),
+        F.round("_bullet_frac", 4).alias("bullet_line_frac"),
+        F.round("_ellipsis_frac", 4).alias("ellipsis_line_frac"),
+        F.col("n_stopwords"),
         keep.alias("keep"),
     )
 
