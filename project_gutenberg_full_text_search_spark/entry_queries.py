@@ -291,6 +291,37 @@ def build_registry():
         _bm25_oracle("merge", k=20, extra_where="AND d.lang = 'de'"),
     )
 
+    def fts_snippets(spark, sf_dir):
+        # ts_headline analog: KWIC snippets with highlighted terms over
+        # the AND-query top-10 — snippet algebra touches k rows, not the
+        # corpus (top-k broadcast into the documents probe)
+        from project_gutenberg_full_text_search_spark.operators.snippets import (
+            snippets,
+        )
+
+        h = _index_for(spark, sf_dir)
+        docs = _documents(spark, sf_dir)
+        top = bm25_topk(h, "merge query", k=10)
+        joined = docs.select("doc_id", "text").join(F.broadcast(top), "doc_id")
+        return (
+            snippets(joined, ["merge", "query"])
+            .select("doc_id", "score", "first_pos", "n_hits", "snippet")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    from project_gutenberg_full_text_search_spark.operators.snippets import (
+        snippet_sql,
+    )
+
+    reg(
+        "fts_snippets",
+        fts_snippets,
+        f"""SELECT t.doc_id, t.score, {snippet_sql("d.text", ["merge", "query"])}
+FROM ({_bm25_oracle("merge query", k=10)}) t
+JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id""",
+    )
+
     # ---- fuzzy (Q3) ----
     def fz(word, k=25):
         def fn(spark, sf_dir):
