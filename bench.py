@@ -50,9 +50,11 @@ def _scaling_worker(
     * ~10 KB docs (length_scale 8, a typical real source-file size):
       per-doc CPU dominates fixed per-task cost and aggregate docs/s
       stays below the box's shared non-CPU ceiling at both levels.
-    * ~4 MB scan splits: a few-hundred-MB input otherwise bin-packs into
-      ~2 waves of scan tasks at the high level and wave quantization
-      masquerades as poor scaling; real corpora have millions of splits.
+    * ≥64 scan splits (corpus-size-scaled split bytes, 4 MB cap — the
+      same layout at both levels): a few-hundred-MB input at coarse
+      splits otherwise bin-packs into ~2 waves of scan tasks at the high
+      level and wave quantization masquerades as poor scaling; real
+      corpora have millions of splits.
     * one full warm-up build, then the timed build: a fresh JVM spends a
       near-CONSTANT wall cost on classloading + whole-stage-codegen JIT,
       a far larger fraction of the short high-parallelism run; real
@@ -66,7 +68,15 @@ def _scaling_worker(
     from project_gutenberg_full_text_search_spark.operators.build_index import build_index
     from project_gutenberg_full_text_search_spark.session import get_spark
 
-    os.environ.setdefault("PGFTS_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
+    # split size scales with the corpus (LEVEL-INDEPENDENT — both levels
+    # must see the identical file layout): ≥64 scan splits however small
+    # the budget-shrunk corpus gets, else the hi level's scan collapses
+    # into ~2 waves and quantization masquerades as poor scaling
+    # (measured: a 4k-doc round at fixed 4MB splits published 0.65).
+    # 4MB cap keeps the full-size (32k-doc, ~330MB) behavior unchanged.
+    est_bytes = int(n_docs * 1330 * length_scale)
+    split = min(4 * 1024 * 1024, max(256 * 1024, est_bytes // 64))
+    os.environ.setdefault("PGFTS_MAX_PARTITION_BYTES", str(split))
     # one encode partition per core at BOTH levels (same rule, so the
     # comparison stays config-fair): halving task count cuts the per-task
     # fixed cost — most visibly the partitioned write's per-task parquet
@@ -254,11 +264,12 @@ def main() -> None:
         round_est = 450.0 * slowness * (n_scale / 32000.0)
         if "SPARK_GRAFT_SCALING_DOCS" not in os.environ:
             _remaining = budget_sec - (time.time() - t_suite)
-            # floor 4k (was 8k): at ~10 KB/doc a 4k build is still tens of
-            # seconds per sample on the degraded hosts that trigger this
-            # path (per-sample walls stay data-dominated there; fast hosts
-            # never shrink this far)
-            while n_scale > 4000 and 2.0 * round_est > _remaining:
+            # floor 8k: smaller corpora deflate measured efficiency —
+            # fixed per-stage costs and shuffle-wave quantization weigh
+            # 4x heavier on the hi level's short builds (measured: 4k-doc
+            # rounds publish ~0.65 on a host whose 16k rounds sit ≥0.8),
+            # so below 8k an "efficient" engine cannot demonstrate it
+            while n_scale > 8000 and 2.0 * round_est > _remaining:
                 n_scale //= 2
                 round_est /= 2.0
                 scaling["corpus_shrunk_for_budget"] = n_scale
@@ -266,12 +277,16 @@ def main() -> None:
         # pre-generate the scaling corpus from THIS 32-core session so the
         # first (CPU-pinned, 2-core) worker doesn't pay generation time
         scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-        scal_docs = os.path.join(scratch, f"pgfts_scal_docs_{n_scale}_8.0")
-        if not os.path.exists(scal_docs):
-            from project_gutenberg_full_text_search_spark.corpus import gen_corpus
 
-            gen_corpus(spark, n_scale, seed=42, partitions=128,
-                       length_scale=8.0).write.mode("overwrite").parquet(scal_docs)
+        def _ensure_scal_corpus(n: int) -> None:
+            p = os.path.join(scratch, f"pgfts_scal_docs_{n}_8.0")
+            if not os.path.exists(p):
+                from project_gutenberg_full_text_search_spark.corpus import gen_corpus
+
+                gen_corpus(spark, n, seed=42, partitions=128,
+                           length_scale=8.0).write.mode("overwrite").parquet(p)
+
+        _ensure_scal_corpus(n_scale)
 
         def _run_worker(c, samples=None):
             # failed workers RECORD why (timeout vs crash + stderr tail)
@@ -329,19 +344,31 @@ def main() -> None:
         # top-two samples agree within 3%.
         rounds = []
 
-        def _top_two_close(key) -> bool:
-            vals = sorted((r[key] for r in rounds), reverse=True)
+        def _group() -> list[dict]:
+            """Rounds of the headline corpus size. Mid-run halving (below)
+            can mix sizes; docs/s at different sizes are not comparable
+            (fixed-cost fraction differs), so best-per-level competes
+            only within one size: the most-sampled one, largest on ties
+            (more data-dominated)."""
+            by_n: dict[int, list[dict]] = {}
+            for r in rounds:
+                by_n.setdefault(r["n_docs"], []).append(r)
+            return max(by_n.values(), key=lambda g: (len(g), g[0]["n_docs"]))
+
+        def _top_two_close(grp, key) -> bool:
+            vals = sorted((r[key] for r in grp), reverse=True)
             return len(vals) >= 2 and vals[0] - vals[1] <= 0.03 * vals[0]
 
         def _publish() -> None:
             if not rounds:
                 return
-            thr_lo = max(r["lo_docs_per_sec"] for r in rounds)
-            thr_hi = max(r["hi_docs_per_sec"] for r in rounds)
+            grp = _group()
+            thr_lo = max(r["lo_docs_per_sec"] for r in grp)
+            thr_hi = max(r["hi_docs_per_sec"] for r in grp)
             eff = round(thr_hi / (thr_lo * (hi / lo)), 3)
             scaling.update(
                 {
-                    "n_docs": n_scale,
+                    "n_docs": grp[0]["n_docs"],
                     f"local[{lo}]_docs_per_sec": thr_lo,
                     f"local[{hi}]_docs_per_sec": thr_hi,
                     "parallelism_ratio": hi // lo,
@@ -352,7 +379,7 @@ def main() -> None:
                     # disturbed LOW sample is still the per-level max);
                     # consumers should treat converged=false numbers as
                     # host noise, not engine behavior
-                    "converged": len(rounds) >= 2 and eff <= 1.05,
+                    "converged": len(grp) >= 2 and eff <= 1.05,
                     "rounds": rounds,
                 }
             )
@@ -376,6 +403,24 @@ def main() -> None:
             # is already emitted, so the downside is bounded.
             est = 1.1 * round_cost if round_cost else min(round_est, 300.0)
             if remaining < est:
+                # the measured round was too expensive to repeat, but the
+                # best-per-level estimator NEEDS >=2 rounds at one size:
+                # halve the corpus (round cost is ~linear in docs; the
+                # efficiency RATIO is size-insensitive, BASELINE.md) and
+                # keep sampling instead of publishing a single
+                # converged=false round (observed: one 700 s 16k round on
+                # a disturbed host, headline 1.003, no second round)
+                if (
+                    round_cost
+                    and len(_group()) < 2
+                    and n_scale > 8000
+                    and remaining > 0.55 * round_cost + 30.0
+                ):
+                    n_scale //= 2
+                    round_cost /= 2.0
+                    scaling["corpus_shrunk_for_budget"] = n_scale
+                    _ensure_scal_corpus(n_scale)
+                    continue
                 break
             t_round = time.time()
             r_lo = _run_worker(lo, samples=lo_samples)
@@ -391,6 +436,7 @@ def main() -> None:
             if r_lo and r_hi:
                 rounds.append(
                     {
+                        "n_docs": n_scale,
                         "lo_docs_per_sec": round(r_lo["docs_per_sec"], 1),
                         "hi_docs_per_sec": round(r_hi["docs_per_sec"], 1),
                         "efficiency": round(
@@ -399,10 +445,11 @@ def main() -> None:
                     }
                 )
                 _publish()  # partial results survive a harness timeout
+            grp = _group() if rounds else []
             if (
-                len(rounds) >= n_rounds
-                and _top_two_close("lo_docs_per_sec")
-                and _top_two_close("hi_docs_per_sec")
+                len(grp) >= n_rounds
+                and _top_two_close(grp, "lo_docs_per_sec")
+                and _top_two_close(grp, "hi_docs_per_sec")
                 # super-linear headline = a disturbed LOW run is still the
                 # per-level max; physically impossible, so keep sampling
                 and scaling.get("efficiency", 0.0) <= 1.05
@@ -418,8 +465,8 @@ def main() -> None:
                 "level is its least-host-disturbed sample, so shared-box "
                 "noise in any single run can only deflate the headline, "
                 "never inflate it (a per-round ratio is inflatable by a "
-                "disturbed LOW run). Pinning + warm-up + 4MB scan "
-                "splits remove the single-box artifacts (slot-vs-core "
+                "disturbed LOW run). Pinning + warm-up + corpus-scaled "
+                "(>=64) scan splits remove the single-box artifacts (slot-vs-core "
                 "overcommit, JIT share, scan-wave quantization) that "
                 "otherwise dominate - protocol details in "
                 "bench._scaling_worker docstring and BASELINE.md."
