@@ -293,16 +293,25 @@ def build_registry():
 
     def fts_snippets(spark, sf_dir):
         # ts_headline analog: KWIC snippets with highlighted terms over
-        # the AND-query top-10 — snippet algebra touches k rows, not the
-        # corpus (top-k broadcast into the documents probe)
+        # the AND-query top-10. Fetch shape matters at corpus scale: the
+        # k result rows are COLLECTED (bounded by k, like every page
+        # fetch) and re-enter as a pushed `doc_id IN (...)` parquet
+        # filter — on a doc_id-sorted table (operators/etl.py B13
+        # sorted-write) that is a row-group-pruned point fetch, not a
+        # full scan joined down to k rows. Snippet algebra then touches
+        # exactly k rows.
         from project_gutenberg_full_text_search_spark.operators.snippets import (
             snippets,
         )
 
         h = _index_for(spark, sf_dir)
         docs = _documents(spark, sf_dir)
-        top = bm25_topk(h, "merge query", k=10)
-        joined = docs.select("doc_id", "text").join(F.broadcast(top), "doc_id")
+        top_rows = bm25_topk(h, "merge query", k=10).collect()
+        top = spark.createDataFrame(top_rows, "doc_id bigint, score double")
+        fetched = docs.select("doc_id", "text").filter(
+            F.col("doc_id").isin([r["doc_id"] for r in top_rows])
+        )
+        joined = fetched.join(F.broadcast(top), "doc_id")
         return (
             snippets(joined, ["merge", "query"])
             .select("doc_id", "score", "first_pos", "n_hits", "snippet")
