@@ -93,6 +93,7 @@ class SearchQuery:
     _page_size: int = 25
     _crosswalk: Crosswalk = Crosswalk.FULL
     _random_seed: int | None = 42
+    _highlight: tuple[int, str, str] | None = None
 
     def __getitem__(self, key) -> "SearchQuery":
         """q[3] → page 3; q[2, 50] → page 2, size 50 (clamped 1..100)."""
@@ -132,6 +133,18 @@ class SearchQuery:
         txt = (txt or "").strip()
         if txt:
             self._search.append((txt, field, search_type))
+        return self
+
+    def highlight(
+        self, window: int = 8, start_tag: str = "<b>", end_tag: str = "</b>"
+    ) -> "SearchQuery":
+        """Attach KWIC snippets to ``execute()`` results (the
+        ``ts_headline`` analog; operators/snippets.py): each result dict
+        gains ``snippet`` / ``first_pos`` / ``n_hits`` computed from the
+        page's FTS terms over the searched text column. Snippet algebra
+        runs on the page DataFrame — k rows, never the corpus. No-op
+        when the query has no FTS clause with positive terms."""
+        self._highlight = (int(window), start_tag, end_tag)
         return self
 
     # --- filters (reference :151-263; each returns self for chaining) ---
@@ -563,6 +576,19 @@ class FullTextSearch:
             return [(c.asc() if d == SortDirection.ASC else c.desc()), F.asc("doc_id")]
         return [F.asc("doc_id")]
 
+    def _highlight_spec(self, q: SearchQuery) -> tuple[list[str], str]:
+        """(positive FTS terms, text column) for ``highlight()`` — from
+        the query's FIRST FTS clause (multiple searches AND together on
+        possibly different fields; the first is the primary relevance
+        clause, reference semantics). Empty terms → highlight no-ops."""
+        for txt, fld, st in q._search:
+            if st == SearchType.FTS:
+                pq = parse_websearch(txt)
+                terms = sorted(set(pq.positive_terms))
+                if terms:
+                    return terms, _FIELD_TEXT[fld]
+        return [], ""
+
     def _page_df(self, q: SearchQuery, rank_col, df: DataFrame, page: int) -> DataFrame:
         """The requested page only — sliced ON EXECUTORS: top-(page·size)
         via TakeOrderedAndProject, then a row_number window over those ≤
@@ -609,10 +635,31 @@ class FullTextSearch:
             total_pages = max(1, math.ceil(total / q._page_size))
             page = min(q._page, total_pages)
             q._page = page
-            page_rows = self._page_df(q, rank_col, df, page).collect()
+            page_df = self._page_df(q, rank_col, df, page)
+            hl_terms, hl_col = (
+                self._highlight_spec(q) if q._highlight else ([], "")
+            )
+            if q._highlight and hl_terms:
+                from project_gutenberg_full_text_search_spark.operators.snippets import (
+                    snippets,
+                )
+
+                w, tag_a, tag_b = q._highlight
+                page_df = snippets(
+                    page_df, hl_terms, text_col=hl_col, window=w,
+                    start_tag=tag_a, end_tag=tag_b,
+                )
+            page_rows = page_df.collect()
         finally:
             df.unpersist()
         results = apply_crosswalk(q._crosswalk, page_rows, self._custom)
+        if q._highlight and hl_terms:
+            # crosswalks project fixed reference envelopes — attach the
+            # snippet fields alongside rather than widening every envelope
+            for res, row in zip(results, page_rows):
+                res["snippet"] = row["snippet"]
+                res["first_pos"] = row["first_pos"]
+                res["n_hits"] = row["n_hits"]
         return {
             "results": results,
             "page": page,

@@ -714,3 +714,44 @@ def test_language_enum_full_reference_parity():
     assert got == expected
     # enum-name access parity: Language.EN / Language["ZH"] style lookups
     assert Language["EN"].code == "en" and Language["ZH"].label == "Chinese"
+
+
+# ---- highlight / snippets (ts_headline analog) ----
+
+def test_execute_with_highlight(fts, small_corpus_pdf):
+    import re
+
+    q = (
+        fts.query(Crosswalk.MINI)
+        .search("merge query", SearchField.CONTENT, SearchType.FTS)
+        .highlight(window=4)
+        .order_by(OrderBy.RELEVANCE)[1, 5]
+    )
+    env = fts.execute(q)
+    assert env["results"]
+    pdf = small_corpus_pdf.set_index("doc_id")
+
+    def expected(text, terms=("merge", "query"), window=4):
+        toks = re.findall("[a-z0-9_]+", text.lower())
+        hits = [i for i, t in enumerate(toks) if t in terms]
+        pos = hits[0] + 1
+        seg = toks[max(1, pos - window) - 1 : pos + window]
+        return (
+            pos,
+            len(hits),
+            " ".join(f"<b>{t}</b>" if t in terms else t for t in seg),
+        )
+
+    for res in env["results"]:
+        pos, n, snip = expected(pdf.loc[res["id"]].content)
+        assert res["first_pos"] == pos
+        assert res["n_hits"] == n
+        assert res["snippet"] == snip
+        # AND query: both terms occur somewhere in the doc
+        assert n >= 2
+
+
+def test_highlight_noop_without_fts(fts):
+    env = fts.execute(fts.query(Crosswalk.MINI).etext(42).highlight())
+    assert env["total"] == 1
+    assert "snippet" not in env["results"][0]
