@@ -444,12 +444,13 @@ class FullTextSearch:
                 stacklevel=3,
             )
             from project_gutenberg_full_text_search_spark.functions.text import (
+                tokens_col,
                 trigrams_col,
             )
 
             qcol = F.lit(txt.lower())
             word_sims = F.transform(
-                F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+"), ""),
+                tokens_col(text_col),
                 lambda w: F.size(
                     F.array_intersect(trigrams_col(w), trigrams_col(qcol))
                 )

@@ -1390,8 +1390,11 @@ ORDER BY t.score DESC, t.doc_id""",
             pack_token_budget,
         )
 
+        # spread=True: the single-file corpus otherwise tokenizes in ONE
+        # scan task before the window shuffle (result-identical — bucket
+        # and pack_id are pure row/window functions)
         return pack_token_budget(
-            _documents(spark, sf_dir), budget=500, text_col="text",
+            _documents(spark, sf_dir, spread=True), budget=500, text_col="text",
             n_buckets=8, seed=11,
         )
 
@@ -1584,8 +1587,11 @@ ORDER BY t.score DESC, t.doc_id""",
             chunk_windows,
         )
 
+        # spread=True: row-local operator — without it the whole corpus
+        # chunks inside one scan task (single-file parquet input)
         return chunk_windows(
-            _documents(spark, sf_dir), window=40, stride=30, text_col="text"
+            _documents(spark, sf_dir, spread=True), window=40, stride=30,
+            text_col="text",
         )
 
     from project_gutenberg_full_text_search_spark.operators.etl import (

@@ -29,9 +29,17 @@ TOKEN_SPLIT_RE = "[^a-z0-9_]+"
 
 
 def tokens_col(col: Column | str) -> Column:
-    """Array<string> of tokens; JVM-side (codegen), no UDF."""
+    """Array<string> of tokens; JVM-side (codegen), no UDF.
+
+    ``regexp_extract_all`` of token RUNS, not ``split`` on separator runs:
+    findall-of-runs ≡ split-minus-empties (the same equivalence
+    ``tokenize_str`` exploits), but Spark's StringSplit re-compiles its
+    pattern per row via ``String.split`` while RegExpExtractAll caches the
+    compiled Pattern — measured 8× on a 50k-doc scan (2.0 s → 0.27 s,
+    OPTIMIZATION_r06.md). Exact-equality with ``tokenize_str`` stays
+    covered by tests/test_tokenizer.py."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_remove(F.split(F.lower(c), TOKEN_SPLIT_RE), "")
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_FIND_RE), F.lit(0))
 
 
 def doc_len_col(col: Column | str) -> Column:

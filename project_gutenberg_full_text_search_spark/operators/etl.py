@@ -452,7 +452,17 @@ def chunk_windows(
         # chunk whenever stride divides into the tail; gap-sampling is a
         # different operator (hash_sample the chunks instead)
         raise ValueError("stride must be <= window (no-gap chunking)")
-    toks = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
+    # The token array is MATERIALIZED as a named column and the chunks are
+    # built as a per-doc struct array BEFORE the explode. Two measured
+    # traps in the naive explode(ids)-then-slice form (sf1.0, single
+    # task): (1) the token array flows THROUGH the Generate, so every
+    # chunk row re-serializes the whole ~doc-length array (3.5 s); (2) a
+    # transform() lambda that closes over the un-materialized split
+    # expression re-tokenizes per CHUNK (6.2 s — HOFs are CodegenFallback
+    # with no subexpression elimination). Materialized-column +
+    # transform-then-explode does the slicing row-locally and ships only
+    # the chunk structs: 1.37 s same task — OPTIMIZATION_r06.md.
+    toks = F.col("_toks")
     n = F.size(toks)
     # integer-exact chunk count (engine-portable, no float ceil):
     # 0 for empty docs, 1 while n <= window, else 1 + ceil((n-window)/stride)
@@ -464,25 +474,34 @@ def chunk_windows(
         .when(n <= window, F.lit(1))
         .otherwise(F.lit(1) + extra)
     )
-    # sequence(0, -1) would produce a DESCENDING sequence (Spark defaults
-    # step to -1 when start > stop) — emit an empty array instead so
-    # explode() drops empty docs
-    ids = F.when(
-        n_chunks > 0, F.sequence(F.lit(0), n_chunks - F.lit(1))
-    ).otherwise(F.array().cast("array<int>"))
-    start = F.col("chunk_id") * stride
+    chunk_struct_t = "array<struct<chunk_id:int,n_tokens:int,chunk_text:string>>"
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            # sequence(0, -1) would produce a DESCENDING sequence (Spark
+            # defaults step to -1 when start > stop) — the when() guard
+            # keeps the sequence non-empty
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.least(F.lit(window), n - i * stride).cast("int").alias("n_tokens"),
+                F.array_join(F.slice(toks, i * stride + 1, window), " ").alias(
+                    "chunk_text"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast(chunk_struct_t))
     return (
         df.select(
             F.col(id_col),
-            toks.alias("_toks"),
-            n.alias("_n"),
-            F.explode(ids).alias("chunk_id"),
+            F.array_remove(F.split(F.col(text_col), r"\s+"), "").alias("_toks"),
         )
+        .select(F.col(id_col), F.explode(chunks).alias("_c"))
         .select(
             F.col(id_col),
-            F.col("chunk_id").cast("int").alias("chunk_id"),
-            F.least(F.lit(window), F.col("_n") - start).cast("int").alias("n_tokens"),
-            F.array_join(F.slice("_toks", start + 1, window), " ").alias("chunk_text"),
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.n_tokens").alias("n_tokens"),
+            F.col("_c.chunk_text").alias("chunk_text"),
         )
     )
 
