@@ -884,8 +884,11 @@ ORDER BY t.score DESC, t.doc_id""",
 
     def ivf_cells(spark, sf_dir):
         emb = _read(spark, sf_dir, "embeddings")
+        # method="fold": bit-identical cells to the "expr" oracle twin
+        # (same left-to-right IEEE fold), computed batch-vectorized in
+        # numpy instead of per-row interpreted HOF evaluation
         return ivf.with_ivf_cell(
-            emb, "embedding", _IVF_C, "cell", method="expr"
+            emb, "embedding", _IVF_C, "cell", method="fold"
         ).select("vec_id", "cell")
 
     reg(
@@ -902,7 +905,7 @@ ORDER BY t.score DESC, t.doc_id""",
             k=5,
             centroids=_IVF_C,
             nprobe=4,
-            method="expr",
+            method="fold",
         )
 
     _ivf_probe_sql = f"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -928,7 +931,7 @@ ORDER BY t.score DESC, t.doc_id""",
         with _IDX_LOCK:
             if not os.path.exists(os.path.join(path, "_ivf_meta.json")):
                 ivf.write_ivf_index(
-                    emb, path, dim=64, centroids=_IVF_C, method="expr"
+                    emb, path, dim=64, centroids=_IVF_C, method="fold"
                 )
         return ivf.ann_ivf_index_topk(
             spark, path, _qvec(spark, sf_dir), k=5, nprobe=4
@@ -1735,7 +1738,13 @@ ORDER BY t.score DESC, t.doc_id""",
 
     # ---- temporal family: sessionize / as-of join / interval join ----
     def ev_sessionize(spark, sf_dir):
-        e = _read(spark, sf_dir, "events")
+        # project to the four columns the rollup reads BEFORE the window:
+        # the events schema carries props/event_type strings the session
+        # window would otherwise drag through its shuffle + sort (guide
+        # §2.3 "project before the exchange"; result-identical)
+        e = _read(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        )
         s = temporal.sessionize(
             e, key_col="user_id", ts_col="ts", gap_sec=7200, tiebreak_col="event_id"
         )
@@ -1779,11 +1788,19 @@ ORDER BY t.score DESC, t.doc_id""",
             .groupBy("user_id", "ts")
             .agg(F.max("value").alias("pval"))
         )
+        # the event_id filter commutes with the as-of join (it reads only
+        # left-row columns, and each left row's match is independent of
+        # other left rows) — applying it BEFORE the join sends 1/20th of
+        # the left side through the union + window sort (guide §2.3)
         joined = temporal.asof_join(
-            e.select("event_id", "user_id", "ts"), anchors, "user_id"
+            e.select("event_id", "user_id", "ts").filter(
+                F.col("event_id") % 20 == 0
+            ),
+            anchors,
+            "user_id",
         )
         return (
-            joined.filter(F.col("event_id") % 20 == 0)
+            joined
             .select(
                 "event_id",
                 "user_id",

@@ -195,10 +195,19 @@ def with_ivf_cell(
     method='expr'   — per-centroid chained-sum dot columns + greatest/CASE
                       argmax (bit-identical to the DuckDB/Python twins;
                       viable while nlist×dim fits the codegen budget).
+    method='fold'   — the SAME left-to-right fold dots, batch-vectorized
+                      in numpy inside mapInPandas (similarity.fold_dots_np
+                      — one IEEE multiply+add per step in expression
+                      order, never a BLAS matmul): bit-identical cells to
+                      'expr' at any size, without the interpreted
+                      per-row HOF evaluation 'expr' pays (Catalyst
+                      ``aggregate``/``zip_with`` are CodegenFallback).
     method='pandas' — one ``batch @ centroids.T`` float64 matmul + argmax
                       per Arrow batch inside mapInPandas: O(1) plan nodes
-                      at any dim (np.argmax also breaks ties low).
-    method='auto'   — 'expr' while nlist×dim ≤ EXPR_NODE_BUDGET else
+                      at any dim (np.argmax also breaks ties low); dots
+                      may differ from the fold twins within summation-
+                      reorder rounding (irrelevant for recall).
+    method='auto'   — 'fold' while nlist×dim ≤ EXPR_NODE_BUDGET else
                       'pandas'.
 
     ``expect_dim``: fail LOUDLY on rows whose vector length differs —
@@ -209,7 +218,7 @@ def with_ivf_cell(
     if method == "auto":
         # the argmax expression embeds the dot array twice (once for
         # array_max, once for array_position), hence the factor 2
-        method = "expr" if 2 * nlist * dim <= EXPR_NODE_BUDGET else "pandas"
+        method = "fold" if 2 * nlist * dim <= EXPR_NODE_BUDGET else "pandas"
     if method == "expr":
         # argmax as array_position(arr, array_max(arr)): the dot array is
         # ONE expression (each chained-sum dot evaluated inside the array
@@ -234,10 +243,17 @@ def with_ivf_cell(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if method not in ("fold", "pandas"):
+        raise ValueError(f"unknown with_ivf_cell method {method!r}")
     schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
     C = centroids.astype(np.float64)
+    use_fold = method == "fold"
 
     def gen(batches):
+        from project_gutenberg_full_text_search_spark.operators.similarity import (
+            fold_dots_np,
+        )
+
         for pdf in batches:
             pdf = pdf.copy()
             if len(pdf) == 0:
@@ -250,7 +266,8 @@ def with_ivf_cell(
                     f"embedding length != declared dim {expect_dim}: "
                     f"got {vs.shape[1]}"
                 )
-            pdf[out_col] = np.argmax(vs @ C.T, axis=1).astype(np.int64)
+            dots = fold_dots_np(vs, C) if use_fold else vs @ C.T
+            pdf[out_col] = np.argmax(dots, axis=1).astype(np.int64)
             yield pdf
 
     return df.mapInPandas(gen, schema)

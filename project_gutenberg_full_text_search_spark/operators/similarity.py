@@ -28,6 +28,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fold_dots_np(vs: "np.ndarray", W: "np.ndarray") -> "np.ndarray":
+    """(n, dim) × (m, dim) → (n, m) dot products in LEFT-TO-RIGHT fold
+    order: acc_d = acc_{d-1} + (w_d · x_d), starting from 0.0 — each step
+    one IEEE-754 multiply + one add, exactly the association of the
+    Catalyst ``aggregate(zip_with(...))`` / chained-sum SQL / Python
+    ``reduce`` twins, so the resulting doubles are BIT-IDENTICAL to the
+    expression path (never a BLAS matmul, whose blocked/pairwise summation
+    reorders the adds). A 64-step loop of vectorized ops: ~matmul speed at
+    these dims, while the interpreted Catalyst fold pays per-row HOF eval.
+    (0.0 + t ≡ t in IEEE except -0.0 vs 0.0 — sign of an exact zero never
+    changes a ≥0 test or an argmax outcome.)"""
+    n, dim = vs.shape
+    acc = np.zeros((n, W.shape[0]), dtype=np.float64)
+    for d in range(dim):
+        acc += vs[:, d : d + 1] * W[None, :, d]
+    return acc
+
+
+def fold_self_dot_np(vs: "np.ndarray") -> "np.ndarray":
+    """Per-row Σ x_d² in the same left-to-right fold order as
+    ``aggregate(transform(a, x → x·x), 0.0, +)``."""
+    acc = np.zeros(len(vs), dtype=np.float64)
+    for d in range(vs.shape[1]):
+        acc += vs[:, d] * vs[:, d]
+    return acc
+
+
+def fold_dot_py(vec) -> float:
+    """Scalar left-to-right Σ x_d² for a query literal (same fold)."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -57,17 +92,56 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    method: str = "fold",
 ) -> DataFrame:
-    """Exact top-k by cosine similarity — (id, cos) deterministic order."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        emb.select(
+    """Exact top-k by cosine similarity — (id, cos) deterministic order.
+
+    method='fold' (default) scores each Arrow batch with the vectorized
+    fold kernels (``fold_dots_np``) — bit-identical doubles to the
+    Catalyst expression path (same multiply/add association, same
+    correctly-rounded sqrt), but free of the per-row interpreted
+    ``aggregate``/``zip_with`` HOF evaluation, which is CodegenFallback
+    and dominated this scan (guide §4.1: the HOF menu entry that LOOKS
+    like a built-in but executes row-at-a-time). Rounding and the top-k
+    ordering stay in the JVM either way, so both methods produce
+    row-identical output; method='expr' keeps the pure-expression plan.
+    """
+    if method == "expr":
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        scored = emb.select(
             F.col(id_col),
             F.round(cosine_sim_col(F.col(vec_col), q), round_digits).alias("cos"),
         )
-        .orderBy(F.desc("cos"), F.asc(id_col))
-        .limit(k)
-    )
+    else:
+        qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+        qnorm = float(np.sqrt(fold_dot_py(query_vec)))
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        src = emb.select(F.col(id_col), F.col(vec_col))
+        out_schema = StructType(
+            [src.schema[id_col], StructField("_rawcos", DoubleType())]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                dots = fold_dots_np(vs, qv[None, :])[:, 0]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    norms = np.sqrt(fold_self_dot_np(vs))
+                    cos = dots / (norms * qnorm)
+                yield pd.DataFrame({id_col: pdf[id_col], "_rawcos": cos})
+
+        scored = src.mapInPandas(gen, out_schema).select(
+            F.col(id_col), F.round(F.col("_rawcos"), round_digits).alias("cos")
+        )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
 def signbit_bucket_col(vec_col: Column, dims: list[int]) -> Column:
