@@ -1420,9 +1420,13 @@ ORDER BY t.score DESC, t.doc_id""",
             ngram_overlap,
         )
 
-        docs = _documents(spark, sf_dir, spread=True)
-        ref = docs.filter(F.col("doc_id") % 97 == 0)
-        rest = docs.filter(F.col("doc_id") % 97 != 0)
+        # the tiny ref side (1/97th) reads the file directly — spreading
+        # it would pay a second full-corpus repartition exchange for ~500
+        # rows of work; only the corpus side needs the cores
+        ref = _documents(spark, sf_dir).filter(F.col("doc_id") % 97 == 0)
+        rest = _documents(spark, sf_dir, spread=True).filter(
+            F.col("doc_id") % 97 != 0
+        )
         return ngram_overlap(rest, ref, n=3, text_col="text")
 
     reg(
@@ -1526,8 +1530,12 @@ ORDER BY t.score DESC, t.doc_id""",
 
     # ---- intra-doc repetition signals (Gopher-style quality filter) ----
     def repetition_q(spark, sf_dir):
+        # impl="arrow": the shuffle-free single-pass scale path — asserted
+        # row-identical to the declarative explode twin (which the oracle
+        # SQL mirrors) in tests and by the oracle hash itself; measured
+        # 3.0 s → 1.8 s at sf1.0 (two word-explosion shuffles removed)
         return textstats.repetition_profile(
-            _documents(spark, sf_dir, spread=True), "text"
+            _documents(spark, sf_dir, spread=True), "text", impl="arrow"
         )
 
     reg(

@@ -111,3 +111,49 @@ def delta_encode(sorted_ids: np.ndarray) -> bytes:
 def delta_decode(buf: bytes) -> np.ndarray:
     d = varint_decode(buf)
     return np.cumsum(d, dtype=np.uint64)
+
+
+def delta_decode_segments(
+    buf: bytes, seg_byte_lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a CONCATENATION of per-group delta+varint streams in one
+    vectorized pass → (flat values, per-group value counts).
+
+    Per-group values are identical to ``delta_decode`` of that group's
+    byte slice; the flat layout is what the phrase-adjacency kernel
+    consumes directly. Replaces the per-group ``delta_decode`` loop whose
+    ~20 µs/call numpy fixed cost dominated position decoding (measured
+    1.6 s for 77k tiny per-doc lists — OPTIMIZATION_r06.md): one pass
+    over the whole buffer costs the same as one medium-sized decode.
+
+    The segmented delta reconstruction: a global cumsum over the flat
+    deltas, then per group subtract the cumsum value just before its
+    first element — uint64 wrap-around-exact because each group's true
+    values are the group-local cumsum and subtraction mod 2^64 inverts
+    the addition mod 2^64.
+    """
+    seg_byte_lens = np.asarray(seg_byte_lens, dtype=np.int64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.zeros(len(seg_byte_lens), dtype=np.int64),
+        )
+    ends = np.nonzero(b < 128)[0]  # index of each value's final byte
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    within = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    payload = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    d = np.add.reduceat(payload, starts)
+    seg_ends_b = np.cumsum(seg_byte_lens)
+    cum_counts = np.searchsorted(ends, seg_ends_b - 1, side="right")
+    counts = np.diff(np.concatenate(([0], cum_counts)))
+    c = np.cumsum(d, dtype=np.uint64)
+    seg_starts_v = cum_counts - counts
+    base = np.zeros(len(counts), dtype=np.uint64)
+    nz = seg_starts_v > 0
+    base[nz] = c[seg_starts_v[nz] - 1]
+    vals = c - np.repeat(base, counts)
+    return vals, counts

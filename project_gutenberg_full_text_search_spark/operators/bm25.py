@@ -210,15 +210,14 @@ class IndexHandle:
                         "dl": dls,
                     }
                     if with_positions:
+                        from project_gutenberg_full_text_search_spark.functions.codec import (
+                            delta_decode_segments,
+                        )
+
                         lens = varint_decode(r.pos_len_bin).astype(np.int64)
-                        pos_lists = []
-                        off = 0
-                        for ln in lens:
-                            pos_lists.append(
-                                delta_decode(r.pos_bin[off : off + ln]).astype(np.int64)
-                            )
-                            off += ln
-                        d["positions"] = pos_lists
+                        flat, cnts = delta_decode_segments(r.pos_bin, lens)
+                        flat = flat.astype(np.int64)
+                        d["positions"] = np.split(flat, np.cumsum(cnts)[:-1])
                     outs.append(pd.DataFrame(d))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
@@ -449,13 +448,17 @@ def bm25_candidates_blockagg(
                 dls = varint_decode(r.dls_bin).astype(np.float64)
                 doc_parts.append((ids, ti, tfs, dls))
                 if need_pos and ti in pos_store:
+                    # ONE segmented decode of the whole block's position
+                    # payload — the former per-doc delta_decode loop paid
+                    # ~20 µs of numpy fixed cost per tiny list (1.6 s
+                    # across a hot phrase's 77k postings)
+                    from project_gutenberg_full_text_search_spark.functions.codec import (
+                        delta_decode_segments,
+                    )
+
                     lens = varint_decode(r.pos_len_bin).astype(np.int64)
-                    plists = []
-                    off = 0
-                    for ln in lens:
-                        plists.append(delta_decode(r.pos_bin[off : off + ln]).astype(np.int64))
-                        off += ln
-                    pos_store[ti].append((ids, plists))
+                    flat, cnts = delta_decode_segments(r.pos_bin, lens)
+                    pos_store[ti].append((ids, flat.astype(np.int64), cnts))
         if not doc_parts:
             return
         all_ids = np.concatenate([p[0] for p in doc_parts])
@@ -494,19 +497,13 @@ def bm25_candidates_blockagg(
             flat_keys: dict[int, np.ndarray] = {}
             for ti, chunks in pos_store.items():
                 r_parts, k_parts = [], []
-                for ids, plists in chunks:
+                for ids, flat, cnts in chunks:
                     if not len(ids):
                         continue
                     rows = np.searchsorted(uniq, ids)
-                    lens = np.fromiter(
-                        (len(p) for p in plists), dtype=np.int64, count=len(plists)
-                    )
-                    allpos = (
-                        np.concatenate(plists) if len(plists) else empty_i64
-                    )
-                    rrep = np.repeat(rows, lens)
+                    rrep = np.repeat(rows, cnts)
                     r_parts.append(rrep)
-                    k_parts.append(rrep * KEY + allpos)
+                    k_parts.append(rrep * KEY + flat)
                 flat_rows[ti] = np.concatenate(r_parts) if r_parts else empty_i64
                 flat_keys[ti] = np.concatenate(k_parts) if k_parts else empty_i64
             for spec in phrase_specs:
