@@ -95,9 +95,9 @@ def minhash_signatures(
     sig[s] = NULL (kept, never bucketed).
 
     Vectorized mapInPandas: ONE md5 per unique shingle in the Arrow batch
-    (np.unique dedups across docs — duplicate-heavy corpora pay ~nothing),
-    then all k lanes as a single numpy affine broadcast and per-doc
-    minimum.reduceat. The former per-(doc × seed × shingle) md5 loop was
+    (hash-based pd.factorize dedups across docs — duplicate-heavy corpora
+    pay ~nothing), then all k lanes as a single numpy affine broadcast and
+    per-doc minimum.reduceat. The former per-(doc × seed × shingle) md5 loop was
     the dominant per-byte cost of the dedup plane at scale; a pure
     higher-order-function formulation is worse still (~50× — nested
     lambdas fall out of whole-stage codegen; measured, not guessed).
@@ -118,22 +118,29 @@ def minhash_signatures(
 
     def gen(batches):
         for pdf in batches:
-            doc_sh: list[list[str]] = []
-            for text in pdf[text_col].tolist():
-                toks = tokenize_str(text)
-                doc_sh.append(
-                    list(
-                        dict.fromkeys(
-                            " ".join(toks[i : i + shingle_n])
-                            for i in range(len(toks) - shingle_n + 1)
-                        )
-                    )
+            # NO per-doc shingle dedup: min over a multiset equals min
+            # over its distinct set, so the dict.fromkeys pass the old
+            # kernel paid per doc is pure overhead here. pd.factorize
+            # (hash-based) replaces the sort-based np.unique, and the
+            # per-doc min loop collapses into one minimum.reduceat.
+            tok_lists = [tokenize_str(t) for t in pdf[text_col].tolist()]
+            n_docs = len(tok_lists)
+            sh_counts = np.zeros(n_docs, dtype=np.int64)
+            parts: list[list[str]] = []
+            for j, toks in enumerate(tok_lists):
+                m = len(toks) - shingle_n + 1
+                if m <= 0:
+                    continue
+                sh_counts[j] = m
+                parts.append(
+                    [" ".join(toks[i : i + shingle_n]) for i in range(m)]
                 )
-            flat = np.array(
-                [s for sh in doc_sh for s in sh], dtype=object
-            )
-            if len(flat):
-                uniq, inv = np.unique(flat, return_inverse=True)
+            sigs: list = [[None] * k] * n_docs
+            if parts:
+                flat = np.asarray(
+                    [s for p in parts for s in p], dtype=object
+                )
+                codes, uniq = pd.factorize(flat)
                 hv_u = np.fromiter(
                     (
                         int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
@@ -143,17 +150,15 @@ def minhash_signatures(
                     count=len(uniq),
                 )
                 with np.errstate(over="ignore"):
-                    lanes = (hv_u[:, None] * A[None, :] + B[None, :]) & mask
-                lanes = lanes[inv]  # (n_flat, k), doc-contiguous
-            sigs = []
-            off = 0
-            for sh in doc_sh:
-                n = len(sh)
-                if n == 0:
-                    sigs.append([None] * k)
-                    continue
-                sigs.append(lanes[off : off + n].min(axis=0).astype(np.int64).tolist())
-                off += n
+                    lanes_u = (hv_u[:, None] * A[None, :] + B[None, :]) & mask
+                lanes = lanes_u[codes]  # (n_flat, k), doc-contiguous
+                nz = np.nonzero(sh_counts)[0]
+                starts = np.concatenate(([0], np.cumsum(sh_counts[nz])[:-1]))
+                mins = np.minimum.reduceat(lanes, starts, axis=0).astype(
+                    np.int64
+                )
+                for r, j in enumerate(nz):
+                    sigs[j] = mins[r].tolist()
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(
@@ -374,34 +379,33 @@ def simhash(
 
     def gen(batches):
         for pdf in batches:
-            per_doc = []  # (terms, counts) per doc
-            for toks in tokenize_batch(pdf[text_col].tolist()):
-                if len(toks) == 0:
-                    per_doc.append(None)
-                    continue
-                per_doc.append(np.unique(toks, return_counts=True))
-            nonempty = [p for p in per_doc if p is not None]
-            out = np.zeros(len(per_doc), dtype=np.int64)
-            if nonempty:
-                all_terms = np.concatenate([t for t, _ in nonempty])
-                all_counts = np.concatenate([c for _, c in nonempty]).astype(np.int64)
-                uniq, inv = np.unique(all_terms, return_inverse=True)
+            # Σ_unique-terms tf·sign ≡ Σ_occurrences sign — the tf weights
+            # fall out, so NO per-doc np.unique pass is needed at all:
+            # factorize the batch's flat token stream (hash-based), hash
+            # each unique term once, gather its sign row per occurrence,
+            # and add.reduceat at doc boundaries.
+            tok_lists = tokenize_batch(pdf[text_col].tolist())
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            out = np.zeros(len(tok_lists), dtype=np.int64)
+            if int(lens.sum()):
+                all_toks = np.concatenate([t for t in tok_lists if len(t)])
+                codes, uniq = pd.factorize(all_toks)
                 hs_u = np.fromiter(
                     (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in uniq),
                     dtype=np.uint64,
                     count=len(uniq),
                 )
-                signs = (((hs_u[:, None] >> bit_idx[None, :]) & 1) * 2).astype(
+                signs_u = (((hs_u[:, None] >> bit_idx[None, :]) & 1) * 2).astype(
                     np.int64
                 ) - 1
-                weighted = all_counts[:, None] * signs[inv]  # (rows, bits)
-                lens = np.array([len(t) for t, _ in nonempty])
-                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                w = np.add.reduceat(weighted, starts, axis=0)  # (docs, bits)
+                signs = signs_u[codes]  # (occurrences, bits), doc-contiguous
+                nz = np.nonzero(lens)[0]
+                starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+                w = np.add.reduceat(signs, starts, axis=0)  # (docs, bits)
                 fps = ((w > 0).astype(np.uint64) << bit_idx[None, :]).sum(axis=1)
-                out[[i for i, p in enumerate(per_doc) if p is not None]] = (
-                    fps.astype(np.int64)
-                )
+                out[nz] = fps.astype(np.int64)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "simhash": pd.Series(out, dtype="int64")}
             )
