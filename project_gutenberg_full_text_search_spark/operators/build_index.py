@@ -286,8 +286,6 @@ def write_shard_terms(
     distinct edges), so neither a base build nor an incremental epoch ever
     pays a corpus-wide derived-table re-aggregation. Returns the shard's
     term count."""
-    from pyspark.sql import Observation
-
     from project_gutenberg_full_text_search_spark.functions.text import trigrams_col
 
     shard_postings = spark.read.parquet(
@@ -304,10 +302,8 @@ def write_shard_terms(
     # files instead: scans cost a handful of tasks and per-term probes
     # prune to one file via parquet min/max. Tunable for bigger vocabs.
     n_files = int(os.environ.get("PGFTS_TERMS_PARTITIONS", "4"))
-    t_obs = Observation(f"n_terms_{shard_label}")
     (
-        terms.observe(t_obs, F.count(F.lit(1)).alias("n"))
-        .repartitionByRange(n_files, "term")
+        terms.repartitionByRange(n_files, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "terms", f"shard={shard_label}"))
@@ -315,6 +311,11 @@ def write_shard_terms(
     terms_df = spark.read.parquet(
         os.path.join(index_dir, "terms", f"shard={shard_label}")
     )
+    # the written file's row count IS the shard's distinct-term count —
+    # a parquet-metadata-only count job, unlike an Observation above the
+    # repartitionByRange, whose range-sampling pass re-executes the child
+    # and double-counts (measured 62 for a 31-term vocabulary)
+    n_terms_shard = int(terms_df.count())
     tri = (
         terms_df.select("term", "df", trigrams_col("term").alias("trigrams"))
         .withColumn("n_trigrams", F.size("trigrams"))
@@ -326,7 +327,7 @@ def write_shard_terms(
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "trigram_terms", f"shard={shard_label}"))
     )
-    return t_obs.get["n"]
+    return n_terms_shard
 
 
 def build_norms(docs: DataFrame, text_col: str = "content") -> DataFrame:
@@ -412,6 +413,15 @@ def build_index(
     """
     t0 = time.time()
     docs = ensure_doc_ids(docs)
+    # Scale-adaptive input spread: the heavy per-doc work (Python
+    # tokenize, sha256) runs partition-local, so a narrow input scan
+    # (e.g. ONE 5 MB parquet file ⇒ one task) serializes the whole build
+    # regardless of cores. Only engages when the scan has fewer
+    # partitions than the cluster — a real corpus with thousands of
+    # splits never pays this exchange (guide §2.5 input skew).
+    _par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < _par:
+        docs = docs.repartition(_par)
     fingerprint = input_fingerprint or "none"
 
     # ---- norms + stats (single scan, cheap JVM-only aggregation) ----
@@ -584,14 +594,21 @@ def build_index(
     # does no derived work at all.
     terms_root = os.path.join(index_dir, "terms")
     wrote_terms = False
+    shard_term_counts: dict[int, int] = {}
     for shard in range(n_shards):
         sd = os.path.join(terms_root, f"shard={shard}")
         if derived_stale or shard in built_shards or not fsio.isdir(sd):
-            write_shard_terms(spark, index_dir, str(shard))
+            shard_term_counts[shard] = write_shard_terms(spark, index_dir, str(shard))
             wrote_terms = True
     if wrote_terms or "n_terms" not in stats:
-        merged = spark.read.option("basePath", terms_root).parquet(terms_root)
-        stats["n_terms"] = merged.select("term").distinct().count()
+        if n_shards == 1 and 0 in shard_term_counts:
+            # single shard ⇒ its term count IS the global distinct count —
+            # the Observation already measured it during the terms write,
+            # so don't schedule a separate distinct-count job
+            stats["n_terms"] = int(shard_term_counts[0])
+        else:
+            merged = spark.read.option("basePath", terms_root).parquet(terms_root)
+            stats["n_terms"] = merged.select("term").distinct().count()
 
     # ---- champion lists (hot-term top-k fast path) ----
     # rebuilt whenever any postings shard was (re)built this run or the

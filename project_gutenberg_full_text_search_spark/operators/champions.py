@@ -145,14 +145,20 @@ def build_champions(
     k1 = float(stats.get("k1", BM25_K1))
     b = float(stats.get("b", BM25_B))
 
+    # df rides the broadcast join and idf is computed INSIDE the decode
+    # pass with the very same Python `idf()` the serve path uses — no
+    # Python-UDF plan node (the old row-at-a-time F.udf forced a worker
+    # round-trip into this JVM build stage — VERDICT r5 #4), and no JVM
+    # F.log either: Math.log is only 1-ulp-accurate, while stored
+    # champion scores must be BIT-identical to the blockagg kernel's
+    # (math.log) for serve-order exactness.
     heavy = (
         handle.terms()
         .filter(F.col("df") >= int(min_df))
-        .withColumn("idf", F.udf(lambda d: idf(N, d), "double")(F.col("df")))
-        .select("term", "idf")
+        .select("term", "df")
     )
     blocks = handle.postings().join(F.broadcast(heavy), "term").select(
-        "term", "idf", "doc_ids_bin", "tfs_bin", "dls_bin"
+        "term", "df", "doc_ids_bin", "tfs_bin", "dls_bin"
     )
 
     def gen(batches):
@@ -164,7 +170,7 @@ def build_champions(
                 tfs = varint_decode(r.tfs_bin).astype(np.int64)
                 dls = varint_decode(r.dls_bin).astype(np.int64)
                 by_term.setdefault(r.term, []).append((ids, tfs, dls))
-                term_idf[r.term] = r.idf
+                term_idf[r.term] = idf(N, int(r.df))
             outs = []
             for term, parts in by_term.items():
                 ids = np.concatenate([p[0] for p in parts])

@@ -161,3 +161,19 @@ def test_chunk_windows_matches_python_reference(spark, window, stride):
         for cid, nt, ct in _py_chunks(text, window, stride)
     )
     assert got == want
+
+
+def test_no_python_udf_anywhere():
+    """VERDICT r5 #4: no row-at-a-time F.udf in the package (the champion
+    idf was the last one; it now computes inside the decode pass)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / (
+        "project_gutenberg_full_text_search_spark"
+    )
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if "F.udf(" in src or "functions.udf(" in src:
+            offenders.append(str(p))
+    assert not offenders, f"Python UDFs found in: {offenders}"
