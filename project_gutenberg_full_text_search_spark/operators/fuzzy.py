@@ -178,6 +178,10 @@ def fuzzy_search(
 
 
 def fuzzy_count(handle: IndexHandle, word: str, threshold: float = DEFAULT_SIM_THRESHOLD) -> int:
-    cand = _capped_terms(handle, word, threshold)
-    decoded = handle.decode_for(cand, _SIM_PAYLOAD)
+    """Matching-doc count — MEMBERSHIP-ONLY plan (VERDICT r5 #6): the
+    count needs doc_id membership, not scores, so the candidate terms are
+    decoded WITHOUT the sim payload (mirroring ``bm25_match_docs``): no
+    score column anywhere in the plan (asserted in tests)."""
+    cand = _capped_terms(handle, word, threshold).select("term")
+    decoded = handle.decode_for(cand, T.StructType([]))
     return decoded.select("doc_id").distinct().count()

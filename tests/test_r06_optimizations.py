@@ -177,3 +177,30 @@ def test_no_python_udf_anywhere():
         if "F.udf(" in src or "functions.udf(" in src:
             offenders.append(str(p))
     assert not offenders, f"Python UDFs found in: {offenders}"
+
+
+def test_fuzzy_count_membership_only(spark):
+    """fuzzy_count must not carry the sim payload (membership-only plan)
+    and must equal the decoded-path count."""
+    import tempfile
+
+    from project_gutenberg_full_text_search_spark.corpus import gen_corpus
+    from project_gutenberg_full_text_search_spark.operators.build_index import (
+        build_index,
+    )
+    from project_gutenberg_full_text_search_spark.operators.bm25 import IndexHandle
+    from project_gutenberg_full_text_search_spark.operators import fuzzy
+
+    d = tempfile.mkdtemp(prefix="pgfts_fzc_")
+    build_index(spark, gen_corpus(spark, 300, seed=3), d, input_fingerprint="fzc")
+    h = IndexHandle.open(spark, d)
+    cand = fuzzy._capped_terms(h, "querry", fuzzy.DEFAULT_SIM_THRESHOLD).select("term")
+    from pyspark.sql import types as T
+
+    decoded = h.decode_for(cand, T.StructType([]))
+    assert "sim" not in decoded.columns
+    got = fuzzy.fuzzy_count(h, "querry")
+    want = (
+        fuzzy.fuzzy_candidates(h, "querry").select("doc_id").distinct().count()
+    )
+    assert got == want
