@@ -418,7 +418,19 @@ def bm25_candidates_blockagg(
         }
         | {t for c in pq.clauses if c.kind == "phrase" for t in c.terms}
     )
-    if len(required) >= 2:
+    # Selectivity gate (driver arithmetic, guide §3.2 "when selective"):
+    # the intersection is a pure PREFILTER — skipping it never changes the
+    # result, it only decodes blocks the boolean mask would drop anyway.
+    # With doc-uniform terms the chance a 4096-doc range LACKS a required
+    # term of document frequency d is ~exp(-d·block_range/N), so once the
+    # RAREST required term has d·block_range ≥ 8N the expected prunable
+    # fraction is < e⁻⁸ and the extra aggregation + semi-join shuffle
+    # round is pure overhead (hot∧hot queries at any corpus size). The
+    # rare∧hot case this pruning exists for (d·block_range ≪ N) always
+    # takes it.
+    min_req_df = min((dfs[t] for t in required if t in dfs), default=0)
+    block_range = int(handle.stats.get("block_range", 4096))
+    if len(required) >= 2 and min_req_df * block_range < 8 * N:
         allowed = (
             blocks.filter(F.col("term").isin(required))
             .groupBy("block_key")
