@@ -56,13 +56,30 @@ def windowed_rollup(
         if slide
         else F.window(F.col(ts_col), window)
     )
+
+    def _round4_binary(c):
+        # Half-away-from-zero on the BINARY double ×10⁴ — the exact
+        # semantics of DuckDB's round(DOUBLE, 4) (std::round). Spark's
+        # F.round rounds the value's SHORTEST-DECIMAL representation
+        # instead, which disagrees exactly when that repr crosses the
+        # .00005 boundary the binary value sits ε below: observed on the
+        # sf0.001 avg_value (engine 38.3788 vs oracle 38.3787 — a
+        # pre-round-6 latent divergence, caught by a full small-SF oracle
+        # sweep this round). Ties are data-dependent; this operator is
+        # the one place a driver-checked query actually hit one.
+        t = c * F.lit(1e4)
+        a = F.abs(t)
+        fa = F.floor(a).cast("double")
+        r = fa + (a - fa >= F.lit(0.5)).cast("double")
+        return (F.when(t < 0, -r).otherwise(r) / F.lit(1e4)).cast("double")
+
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         src.groupBy(w.alias("win"), F.col(type_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(value_col), 4).alias("sum_value"),
-            F.round(F.avg(value_col), 4).alias("avg_value"),
+            _round4_binary(F.sum(value_col)).alias("sum_value"),
+            _round4_binary(F.avg(value_col)).alias("avg_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
