@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from project_gutenberg_full_text_search_spark.functions.rounding import half_away_col
 from project_gutenberg_full_text_search_spark.functions.text import tokens_col
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -53,7 +54,12 @@ def quality_cols(text_col: str, toks: Column | None = None) -> list[Column]:
         n, F.lit(1)
     )
     len_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
-    score = F.round(
+    # half_away_col, not F.round: these are integer ratios whose true
+    # decimal value can land EXACTLY on the half grid (0.3*k/80 =
+    # 37.5k/1e4) where Spark's shortest-repr half-up disagrees with the
+    # DuckDB oracle's binary rounding — observed at sf0.1 (0.72625 ->
+    # 0.7263 vs 0.7262). functions/rounding.py documents the semantics.
+    score = half_away_col(
         F.least(
             F.greatest(
                 0.4 * len_ok + 0.3 * (1 - punct_raw) + 0.3 * stop_raw, F.lit(0.0)
@@ -64,8 +70,8 @@ def quality_cols(text_col: str, toks: Column | None = None) -> list[Column]:
     )
     return [
         n.alias("n_tokens"),
-        F.round(punct_raw, 4).alias("punct_ratio"),
-        F.round(stop_raw, 4).alias("stopword_ratio"),
+        half_away_col(punct_raw, 4).alias("punct_ratio"),
+        half_away_col(stop_raw, 4).alias("stopword_ratio"),
         score.alias("quality_score"),
     ]
 
@@ -144,10 +150,16 @@ def repetition_profile(
             import math
             from collections import Counter
 
-            # Spark's round() is HALF_UP; Python's round() is half-even —
-            # they differ on exact dyadic ratios (1/32 -> .0313 vs .0312),
-            # so round half-up explicitly to stay impl-identical
-            r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+            # DuckDB/engine-exact half-away rounding (ratios are
+            # non-negative here): compare the true fractional part to
+            # 0.5 instead of adding 0.5 (t+0.5 itself rounds when t sits
+            # within half an ulp of the boundary) — matches
+            # functions/rounding.half_away_py and the explode impl's
+            # half_away_col
+            def r4(x):
+                t = x * 1e4
+                f = math.floor(t)
+                return (f + (1.0 if t - f >= 0.5 else 0.0)) / 1e4
 
             for pdf in batches:
                 rows = []
@@ -217,13 +229,13 @@ def repetition_profile(
         .select(
             F.col(id_col),
             F.coalesce("n_words", F.lit(0)).alias("n_words"),
-            F.round(F.coalesce(F.col("_nd") / nz, F.lit(0.0)), 4).alias(
+            half_away_col(F.coalesce(F.col("_nd") / nz, F.lit(0.0)), 4).alias(
                 "distinct_word_ratio"
             ),
-            F.round(F.coalesce(F.col("_topw") / nz, F.lit(0.0)), 4).alias(
+            half_away_col(F.coalesce(F.col("_topw") / nz, F.lit(0.0)), 4).alias(
                 "top_word_frac"
             ),
-            F.round(
+            half_away_col(
                 F.coalesce(
                     F.col("_topb")
                     / F.greatest(F.col("n_words") - 1, F.lit(1)),
@@ -341,14 +353,16 @@ def gopher_rules(
         & (F.col("_ellipsis_frac") <= max_ellipsis_line_frac)
         & (F.col("n_stopwords") >= min_stopwords)
     )
+    # display rounding via half_away_col: same integer-ratio half-grid
+    # hazard as quality_cols (keep itself compares RAW doubles)
     return raw.select(
         F.col(id_col),
         F.col("n_words"),
-        F.round("_mean_wl", 4).alias("mean_word_len"),
-        F.round("_symbol_ratio", 4).alias("symbol_word_ratio"),
-        F.round("_alpha_ratio", 4).alias("alpha_word_ratio"),
-        F.round("_bullet_frac", 4).alias("bullet_line_frac"),
-        F.round("_ellipsis_frac", 4).alias("ellipsis_line_frac"),
+        half_away_col(F.col("_mean_wl"), 4).alias("mean_word_len"),
+        half_away_col(F.col("_symbol_ratio"), 4).alias("symbol_word_ratio"),
+        half_away_col(F.col("_alpha_ratio"), 4).alias("alpha_word_ratio"),
+        half_away_col(F.col("_bullet_frac"), 4).alias("bullet_line_frac"),
+        half_away_col(F.col("_ellipsis_frac"), 4).alias("ellipsis_line_frac"),
         F.col("n_stopwords"),
         keep.alias("keep"),
     )

@@ -57,21 +57,14 @@ def windowed_rollup(
         else F.window(F.col(ts_col), window)
     )
 
-    def _round4_binary(c):
-        # Half-away-from-zero on the BINARY double ×10⁴ — the exact
-        # semantics of DuckDB's round(DOUBLE, 4) (std::round). Spark's
-        # F.round rounds the value's SHORTEST-DECIMAL representation
-        # instead, which disagrees exactly when that repr crosses the
-        # .00005 boundary the binary value sits ε below: observed on the
-        # sf0.001 avg_value (engine 38.3788 vs oracle 38.3787 — a
-        # pre-round-6 latent divergence, caught by a full small-SF oracle
-        # sweep this round). Ties are data-dependent; this operator is
-        # the one place a driver-checked query actually hit one.
-        t = c * F.lit(1e4)
-        a = F.abs(t)
-        fa = F.floor(a).cast("double")
-        r = fa + (a - fa >= F.lit(0.5)).cast("double")
-        return (F.when(t < 0, -r).otherwise(r) / F.lit(1e4)).cast("double")
+    # half_away_col, not F.round: sum/avg of limited-precision values can
+    # land exactly on the .00005 half grid, where Spark's shortest-repr
+    # half-up disagrees with the DuckDB oracle's binary rounding —
+    # observed on the sf0.001 avg_value (38.3788 vs 38.3787; a
+    # pre-round-6 latent divergence caught by the full small-SF sweep).
+    from project_gutenberg_full_text_search_spark.functions.rounding import (
+        half_away_col as _round4_binary,
+    )
 
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
