@@ -89,12 +89,14 @@ CHAMP_SALT = 64
 # driver-side collect cap for complete-mode multi-term queries
 _MAX_COLLECT_ROWS = 200_000
 
+# (term, doc_id, score) — serving reads exactly these three; tf/dl were
+# stored-but-never-read and cost 16 bytes/row across the side table's
+# shuffle + sort + write (Σ_t min(df_t, C) rows — measured 8.2M on a
+# 32k-doc/19k-term corpus)
 CHAMP_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("tf", T.LongType(), False),
-        T.StructField("dl", T.LongType(), False),
         T.StructField("score", T.DoubleType(), False),
     ]
 )
@@ -157,9 +159,11 @@ def build_champions(
         .filter(F.col("df") >= int(min_df))
         .select("term", "df")
     )
-    blocks = handle.postings().join(F.broadcast(heavy), "term").select(
-        "term", "df", "doc_ids_bin", "tfs_bin", "dls_bin"
-    )
+
+    def _heavy_blocks(h_df):
+        return handle.postings().join(F.broadcast(h_df), "term").select(
+            "term", "df", "doc_ids_bin", "tfs_bin", "dls_bin"
+        )
 
     def gen(batches):
         for pdf in batches:
@@ -171,7 +175,7 @@ def build_champions(
                 dls = varint_decode(r.dls_bin).astype(np.int64)
                 by_term.setdefault(r.term, []).append((ids, tfs, dls))
                 term_idf[r.term] = idf(N, int(r.df))
-            outs = []
+            o_terms, o_ids, o_scores = [], [], []
             for term, parts in by_term.items():
                 ids = np.concatenate([p[0] for p in parts])
                 tfs = np.concatenate([p[1] for p in parts])
@@ -203,40 +207,59 @@ def build_champions(
                     )
                 else:
                     order = np.arange(len(ids))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": np.repeat(term, len(order)),
-                            "doc_id": ids[order],
-                            "tf": tfs[order],
-                            "dl": dls[order],
-                            "score": score[order],
-                        }
-                    )
+                o_terms.append(np.repeat(np.asarray(term, dtype=object), len(order)))
+                o_ids.append(ids[order])
+                o_scores.append(score[order])
+            if o_ids:
+                # ONE frame per batch: a pandas frame per term plus a
+                # concat costs ~0.5 ms × |terms| per batch
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(o_terms),
+                        "doc_id": np.concatenate(o_ids),
+                        "score": np.concatenate(o_scores),
+                    }
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
 
-    cand = blocks.mapInPandas(gen, schema=CHAMP_SCHEMA)
+    # COMPLETE-LIST terms (min_df ≤ df ≤ C) need no tournament at all:
+    # their champion list is their ENTIRE posting list (the per-batch
+    # preselect passes everything through when len ≤ C, and the windows
+    # would filter nothing) — serving re-sorts collected rows, so stored
+    # row order is irrelevant, only the row SET matters. Routing them
+    # around the windows cuts the tournament sort from Σ_heavy min(df, C)
+    # rows to (#terms with df > C)·C rows — measured 12.9 s → ~4 s on a
+    # 32k-doc/19k-term corpus where 97% of heavy terms are complete
+    # (OPTIMIZATION_r06.md §J; this was the worst-scaling slice of the
+    # scaling-phase build). Only genuinely hot terms (df > C) pay the
+    # salt/term tournament.
+    complete = _heavy_blocks(heavy.filter(F.col("df") <= int(C))).mapInPandas(
+        gen, schema=CHAMP_SCHEMA
+    )
+    cand = _heavy_blocks(heavy.filter(F.col("df") > int(C))).mapInPandas(
+        gen, schema=CHAMP_SCHEMA
+    )
     # tournament in the SERVE ordering: (rounded score desc, doc_id asc)
     # — F.round here is the same function the serve tail applies, so the
     # surviving C rows are exactly the full path's first C result rows
     rkey = F.round(F.col("score"), ROUND_DIGITS)
     w1 = Window.partitionBy("term", "salt").orderBy(rkey.desc(), F.asc("doc_id"))
     w2 = Window.partitionBy("term").orderBy(rkey.desc(), F.asc("doc_id"))
-    champs = (
+    ranked = (
         cand.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(CHAMP_SALT)))
         .withColumn("rn1", F.row_number().over(w1))
         .filter(F.col("rn1") <= C)
         .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= C)
-        .select("term", "doc_id", "tf", "dl", "score")
-        .withColumn("tbucket", tbucket_col())
+        .select("term", "doc_id", "score")
     )
+    champs = complete.unionByName(ranked).withColumn("tbucket", tbucket_col())
     out_path = os.path.join(index_dir, "champions")
     (
         champs.repartition("tbucket")
-        .sortWithinPartitions("tbucket", "term", "doc_id")
+        # sorted by (tbucket, term) so serve probes prune row groups via
+        # term min/max; doc_id order within a term is irrelevant to the
+        # serve (it re-sorts collected rows) and cost ~20% of the write
+        .sortWithinPartitions("tbucket", "term")
         .write.mode("overwrite")
         .partitionBy("tbucket")
         .parquet(out_path)
