@@ -243,27 +243,37 @@ def build_champions(
     # surviving C rows are exactly the full path's first C result rows
     rkey = F.round(F.col("score"), ROUND_DIGITS)
     w1 = Window.partitionBy("term", "salt").orderBy(rkey.desc(), F.asc("doc_id"))
-    w2 = Window.partitionBy("term").orderBy(rkey.desc(), F.asc("doc_id"))
-    ranked = (
+    semi = (
         cand.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(CHAMP_SALT)))
         .withColumn("rn1", F.row_number().over(w1))
         .filter(F.col("rn1") <= C)
-        .withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= C)
         .select("term", "doc_id", "score")
     )
-    champs = complete.unionByName(ranked).withColumn("tbucket", tbucket_col())
-    out_path = os.path.join(index_dir, "champions")
-    (
-        champs.repartition("tbucket")
-        # sorted by (tbucket, term) so serve probes prune row groups via
-        # term min/max; doc_id order within a term is irrelevant to the
-        # serve (it re-sorts collected rows) and cost ~20% of the write
-        .sortWithinPartitions("tbucket", "term")
-        .write.mode("overwrite")
-        .partitionBy("tbucket")
-        .parquet(out_path)
+    # The final term-level top-C rides the WRITE exchange instead of its
+    # own: hash-partitioning by tbucket alone already clusters
+    # (tbucket, term) — tbucket is a function of term — so the window
+    # below reuses that single Exchange (verified: one Exchange + one
+    # Sort + WindowGroupLimit in the plan), and its sort order
+    # (tbucket, term, rkey desc, doc_id) is a superset of the write's
+    # old (tbucket, term) sortWithinPartitions, keeping the row-group
+    # term min/max pruning the serve probes rely on. Complete-list rows
+    # pass rn <= C trivially (df <= C rows per term), so routing them
+    # through the same window filters nothing — their sort cost was
+    # already paid by the old write-side sortWithinPartitions. Net: one
+    # whole shuffle (the old term-level Window exchange) removed from
+    # the build. Row-set identity with the two-window form: same groups
+    # (tbucket adds no splits within a term), same ordering, same C.
+    wf = Window.partitionBy("tbucket", "term").orderBy(rkey.desc(), F.asc("doc_id"))
+    champs = (
+        complete.unionByName(semi)
+        .withColumn("tbucket", tbucket_col())
+        .repartition("tbucket")
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= C)
+        .select("term", "doc_id", "score", "tbucket")
     )
+    out_path = os.path.join(index_dir, "champions")
+    champs.write.mode("overwrite").partitionBy("tbucket").parquet(out_path)
     meta = {
         "C": int(C),
         "min_df": int(min_df),
