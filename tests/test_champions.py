@@ -180,3 +180,29 @@ def test_build_index_builds_champions_by_default(spark, tmp_path):
     # tiny corpus: no term reaches the default min_df → empty-but-valid
     h = IndexHandle.open(spark, d)
     assert CH.champions_meta(h) is not None
+
+
+def test_static_prune_matches_join_fallback(champ_index, monkeypatch):
+    """The heavy-term literal prune on the build's postings scans is a
+    pure superset prefilter: forcing the join-only fallback (cap = 0)
+    must rebuild a row-identical champion table."""
+    h = champ_index
+    spark = h.spark
+
+    def table():
+        return sorted(
+            (r.term, r.doc_id, r.score)
+            for r in h._scan("champions")
+            .select("term", "doc_id", "score")
+            .collect()
+        )
+
+    pruned = table()  # fixture built with the static-prune path
+    monkeypatch.setattr(CH, "_MAX_STATIC_TERMS", 0)
+    CH.build_champions(spark, h.index_dir, C=50, min_df=20)
+    h._scan_cache.pop("champions", None)
+    assert table() == pruned
+    monkeypatch.undo()
+    # leave the fixture's table in place for any later module tests
+    CH.build_champions(spark, h.index_dir, C=50, min_df=20)
+    h._scan_cache.pop("champions", None)
