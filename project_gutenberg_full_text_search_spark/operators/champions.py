@@ -167,83 +167,93 @@ def build_champions(
     # (hundreds of terms) while an unfiltered postings scan reads every
     # block's binary columns twice (once per path below). When the set
     # fits a driver literal (≤ _MAX_STATIC_TERMS tiny rows, one small
-    # job over the terms table), prefilter each path's scan with the
-    # same tbucket-isin + term-isin the serve paths use (blocks_for) —
-    # a pure SUPERSET prefilter: the broadcast join still defines the
-    # exact row set, so the output is provably unchanged (measured on a
-    # 50k-doc index: hot-path scan 0.75 → 0.46 s, complete 0.58 → 0.49).
-    # Past the cap (unbounded identifier vocabularies at corpus scale)
-    # fall back to the join-only scan: isin-literal plans over huge term
-    # sets are a driver OOM, exactly as decode_for documents.
+    # job over the terms table), each path's scan becomes the serve
+    # paths' own pruned scan (blocks_for: tbucket isin + term isin) — an
+    # EXACT term filter, so the broadcast join that only existed to
+    # restrict the scan and carry df disappears entirely (df rides the
+    # decode closure instead: ≤ cap tiny dict entries, same idf() calls,
+    # bit-identical scores). Measured on a 50k-doc index: hot-path scan
+    # 0.75 → 0.46 s, complete 0.58 → 0.49, plus two broadcast exchanges
+    # and their materialization jobs gone. Past the cap (unbounded
+    # identifier vocabularies at corpus scale) fall back to the
+    # broadcast-join scan: isin-literal plans over huge term sets are a
+    # driver OOM, exactly as decode_for documents.
     heavy_lit = heavy.limit(_MAX_STATIC_TERMS + 1).collect()
     if len(heavy_lit) > _MAX_STATIC_TERMS:
         heavy_lit = None
 
-    def _heavy_blocks(h_df, static_terms=None):
-        scan = (
+    _BLOCK_COLS = ("term", "doc_ids_bin", "tfs_bin", "dls_bin")
+
+    def _heavy_blocks(h_df, df_map=None):
+        if df_map is not None:
+            return handle.blocks_for(sorted(df_map)).select(*_BLOCK_COLS)
+        return (
             handle.postings()
-            if static_terms is None
-            else handle.blocks_for(static_terms)
-        )
-        return scan.join(F.broadcast(h_df), "term").select(
-            "term", "df", "doc_ids_bin", "tfs_bin", "dls_bin"
+            .join(F.broadcast(h_df), "term")
+            .select("df", *_BLOCK_COLS)
         )
 
-    def gen(batches):
-        for pdf in batches:
-            by_term: dict[str, list] = {}
-            term_idf: dict[str, float] = {}
-            for r in pdf.itertuples(index=False):
-                ids = delta_decode(r.doc_ids_bin).astype(np.int64)
-                tfs = varint_decode(r.tfs_bin).astype(np.int64)
-                dls = varint_decode(r.dls_bin).astype(np.int64)
-                by_term.setdefault(r.term, []).append((ids, tfs, dls))
-                term_idf[r.term] = idf(N, int(r.df))
-            o_terms, o_ids, o_scores = [], [], []
-            for term, parts in by_term.items():
-                ids = np.concatenate([p[0] for p in parts])
-                tfs = np.concatenate([p[1] for p in parts])
-                dls = np.concatenate([p[2] for p in parts])
-                tfd = tfs.astype(np.float64)
-                dld = dls.astype(np.float64)
-                # bitwise-identical expression shape to the blockagg
-                # scoring kernel (bm25_candidates_blockagg): same operand
-                # order → same doubles → same rounded ranks at serve
-                score = (
-                    term_idf[term]
-                    * tfd
-                    * (k1 + 1.0)
-                    / (tfd + k1 * (1.0 - b + b * dld / avgdl))
+    def make_gen(df_map=None):
+        def gen(batches):
+            for pdf in batches:
+                by_term: dict[str, list] = {}
+                term_idf: dict[str, float] = {}
+                for r in pdf.itertuples(index=False):
+                    ids = delta_decode(r.doc_ids_bin).astype(np.int64)
+                    tfs = varint_decode(r.tfs_bin).astype(np.int64)
+                    dls = varint_decode(r.dls_bin).astype(np.int64)
+                    by_term.setdefault(r.term, []).append((ids, tfs, dls))
+                    df_t = df_map[r.term] if df_map is not None else int(r.df)
+                    term_idf[r.term] = idf(N, df_t)
+                yield from _compete(by_term, term_idf)
+        return gen
+
+    def _compete(by_term, term_idf):
+        o_terms, o_ids, o_scores = [], [], []
+        for term, parts in by_term.items():
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            tfd = tfs.astype(np.float64)
+            dld = dls.astype(np.float64)
+            # bitwise-identical expression shape to the blockagg
+            # scoring kernel (bm25_candidates_blockagg): same operand
+            # order → same doubles → same rounded ranks at serve
+            score = (
+                term_idf[term]
+                * tfd
+                * (k1 + 1.0)
+                / (tfd + k1 * (1.0 - b + b * dld / avgdl))
+            )
+            if len(ids) > C:
+                # hazard rows bypass the numpy competition entirely
+                # (emitted unconditionally, adjudicated by the Spark
+                # windows): were they ranked here, a numpy/Spark
+                # rounding disagreement could let one displace a
+                # legitimate top-C row from its preselect slot
+                hz = _np_round_hazard(score)
+                safe = np.nonzero(~hz)[0]
+                r4 = _np_round_half_up(score[safe])
+                keep = safe[np.lexsort((ids[safe], -r4))[:C]]
+                hazard = np.nonzero(hz)[0]
+                order = (
+                    np.concatenate([keep, hazard]) if len(hazard) else keep
                 )
-                if len(ids) > C:
-                    # hazard rows bypass the numpy competition entirely
-                    # (emitted unconditionally, adjudicated by the Spark
-                    # windows): were they ranked here, a numpy/Spark
-                    # rounding disagreement could let one displace a
-                    # legitimate top-C row from its preselect slot
-                    hz = _np_round_hazard(score)
-                    safe = np.nonzero(~hz)[0]
-                    r4 = _np_round_half_up(score[safe])
-                    keep = safe[np.lexsort((ids[safe], -r4))[:C]]
-                    hazard = np.nonzero(hz)[0]
-                    order = (
-                        np.concatenate([keep, hazard]) if len(hazard) else keep
-                    )
-                else:
-                    order = np.arange(len(ids))
-                o_terms.append(np.repeat(np.asarray(term, dtype=object), len(order)))
-                o_ids.append(ids[order])
-                o_scores.append(score[order])
-            if o_ids:
-                # ONE frame per batch: a pandas frame per term plus a
-                # concat costs ~0.5 ms × |terms| per batch
-                yield pd.DataFrame(
-                    {
-                        "term": np.concatenate(o_terms),
-                        "doc_id": np.concatenate(o_ids),
-                        "score": np.concatenate(o_scores),
-                    }
-                )
+            else:
+                order = np.arange(len(ids))
+            o_terms.append(np.repeat(np.asarray(term, dtype=object), len(order)))
+            o_ids.append(ids[order])
+            o_scores.append(score[order])
+        if o_ids:
+            # ONE frame per batch: a pandas frame per term plus a
+            # concat costs ~0.5 ms × |terms| per batch
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(o_terms),
+                    "doc_id": np.concatenate(o_ids),
+                    "score": np.concatenate(o_scores),
+                }
+            )
 
     # COMPLETE-LIST terms (min_df ≤ df ≤ C) need no tournament at all:
     # their champion list is their ENTIRE posting list (the per-batch
@@ -256,20 +266,20 @@ def build_champions(
     # (OPTIMIZATION_r06.md §J; this was the worst-scaling slice of the
     # scaling-phase build). Only genuinely hot terms (df > C) pay the
     # salt/term tournament.
-    comp_lit = (
+    comp_map = (
         None if heavy_lit is None
-        else [r["term"] for r in heavy_lit if r["df"] <= int(C)]
+        else {r["term"]: int(r["df"]) for r in heavy_lit if r["df"] <= int(C)}
     )
-    hot_lit = (
+    hot_map = (
         None if heavy_lit is None
-        else [r["term"] for r in heavy_lit if r["df"] > int(C)]
+        else {r["term"]: int(r["df"]) for r in heavy_lit if r["df"] > int(C)}
     )
     complete = _heavy_blocks(
-        heavy.filter(F.col("df") <= int(C)), comp_lit
-    ).mapInPandas(gen, schema=CHAMP_SCHEMA)
+        heavy.filter(F.col("df") <= int(C)), comp_map
+    ).mapInPandas(make_gen(comp_map), schema=CHAMP_SCHEMA)
     cand = _heavy_blocks(
-        heavy.filter(F.col("df") > int(C)), hot_lit
-    ).mapInPandas(gen, schema=CHAMP_SCHEMA)
+        heavy.filter(F.col("df") > int(C)), hot_map
+    ).mapInPandas(make_gen(hot_map), schema=CHAMP_SCHEMA)
     # tournament in the SERVE ordering: (rounded score desc, doc_id asc)
     # — F.round here is the same function the serve tail applies, so the
     # surviving C rows are exactly the full path's first C result rows
